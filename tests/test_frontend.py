@@ -113,8 +113,8 @@ def test_amplitude_to_db_top_db_is_per_sample():
         [[1.0, 1e-8]],    # max 0 dB  -> floor at -120 dB... (top_db=120)
     ])
     db = np.asarray(amplitude_to_db(x, top_db=120.0))
-    np.testing.assert_allclose(db[0, 0, 1], -80.0, atol=1e-4)
-    np.testing.assert_allclose(db[1, 0, 1], -80.0, atol=1e-4)
+    np.testing.assert_allclose(db[0, 0, 1], -80.0, atol=1e-3)
+    np.testing.assert_allclose(db[1, 0, 1], -80.0, atol=1e-3)
 
 
 def test_logmel_shapes_and_feat_len():
