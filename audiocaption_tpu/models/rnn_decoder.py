@@ -84,39 +84,51 @@ class BahAttnCatFcDecoder(nn.Module):
         return x
 
     def init_cache(self, attn_emb: Array, attn_emb_len: Array,
-                   fc_emb: Array, max_length: int) -> Dict[str, Any]:
+                   fc_emb: Array, max_length: int
+                   ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        """-> (static, dynamic) decode caches.
+
+        The RNN state carried in ``dynamic`` starts as zeros and its
+        beam reorder (a jnp.take in the engine) mirrors the reference's
+        state reindexing by prev_words_beam (attn_model.py:112-116).
+        """
         B = attn_emb.shape[0]
-        return {
-            "state": jnp.zeros((self.num_layers, B, self.d_model),
-                               jnp.float32),
+        static = {
             "attn_emb": attn_emb,
             "attn_emb_len": attn_emb_len,
             "p_fc": self.fc_proj(fc_emb),
         }
+        # engine gathers dyn leaves on axis 0 -> state stored [B, L, H]
+        dyn = {
+            "state": jnp.zeros((B, self.num_layers, self.d_model),
+                               jnp.float32),
+            "attn_weight": jnp.zeros((B, attn_emb.shape[1]), jnp.float32),
+        }
+        return static, dyn
 
-    def _embed_input(self, word_t: Array, t: Array, cache: Dict[str, Any],
+    def _embed_input(self, word_t: Array, t: Array, static: Dict[str, Any],
                      train: bool) -> Array:
         return self._drop(self.word_embedding(word_t), train)
 
-    def step(self, word_t: Array, t: Array, cache: Dict[str, Any],
-             train: bool = False) -> Tuple[Array, Dict[str, Any]]:
-        """word_t: [B] -> (logit [B, V], new cache).
+    def step(self, word_t: Array, t: Array, static: Dict[str, Any],
+             dyn: Dict[str, Any], train: bool = False
+             ) -> Tuple[Array, Dict[str, Any]]:
+        """word_t: [B] -> (logit [B, V], new dynamic cache).
 
         Query is the flattened hidden state of the *previous* step
         (rnn_decoder.py:196-200)."""
-        embed = self._embed_input(word_t, t, cache, train)
-        state = cache["state"]                     # [L, B, H]
+        embed = self._embed_input(word_t, t, static, train)
+        state = jnp.transpose(dyn["state"], (1, 0, 2))   # [L, B, H]
         query = jnp.transpose(state, (1, 0, 2)).reshape(state.shape[1], -1)
-        ctx, attn_weight = self.attn(query, cache["attn_emb"],
-                                     cache["attn_emb_len"])
+        ctx, attn_weight = self.attn(query, static["attn_emb"],
+                                     static["attn_emb_len"])
         rnn_input = jnp.concatenate(
-            [embed, self.ctx_proj(ctx), cache["p_fc"]], axis=-1)
+            [embed, self.ctx_proj(ctx), static["p_fc"]], axis=-1)
         out, new_state = self.model(rnn_input, state)
         logit = self.classifier(out)
-        new_cache = dict(cache)
-        new_cache["state"] = new_state
-        new_cache["attn_weight"] = attn_weight
-        return logit.astype(jnp.float32), new_cache
+        new_dyn = {"state": jnp.transpose(new_state, (1, 0, 2)),
+                   "attn_weight": attn_weight}
+        return logit.astype(jnp.float32), new_dyn
 
 
 class TemporalBahAttnDecoder(BahAttnCatFcDecoder):
@@ -130,21 +142,22 @@ class TemporalBahAttnDecoder(BahAttnCatFcDecoder):
             embedding_init=nn.initializers.xavier_uniform(),
             name="temporal_embedding")
 
-    def _embed_input(self, word_t: Array, t: Array, cache: Dict[str, Any],
+    def _embed_input(self, word_t: Array, t: Array, static: Dict[str, Any],
                      train: bool) -> Array:
         word_emb = self.word_embedding(word_t)
-        tag_emb = self.temporal_embedding(cache["temporal_tag"])
+        tag_emb = self.temporal_embedding(static["temporal_tag"])
         emb = jnp.where(jnp.equal(t, 0), tag_emb, word_emb)
         return self._drop(emb, train)
 
     def init_cache(self, attn_emb: Array, attn_emb_len: Array,
                    fc_emb: Array, max_length: int,
-                   temporal_tag: Optional[Array] = None) -> Dict[str, Any]:
-        cache = super().init_cache(attn_emb, attn_emb_len, fc_emb, max_length)
+                   temporal_tag: Optional[Array] = None):
+        static, dyn = super().init_cache(attn_emb, attn_emb_len, fc_emb,
+                                         max_length)
         if temporal_tag is None:
             temporal_tag = jnp.zeros((attn_emb.shape[0],), jnp.int32)
-        cache["temporal_tag"] = temporal_tag
-        return cache
+        static["temporal_tag"] = temporal_tag
+        return static, dyn
 
 
 def convert_bahattn_decoder(sd, prefix: str = "", num_layers: int = 1,

@@ -130,49 +130,55 @@ class TransformerDecoder(nn.Module):
     # ---------------------------------------------------------- decode ----
 
     def init_cache(self, attn_emb: Array, attn_emb_len: Array,
-                   max_length: int) -> Dict[str, Any]:
-        """Precompute memory K/V and allocate self-attn caches."""
+                   max_length: int
+                   ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        """Precompute memory K/V and allocate self-attn caches.
+
+        Returns (static, dynamic): ``static`` is read-only during decode
+        (never gathered on beam reorder), ``dynamic`` is the per-step
+        mutable state the decoding engine threads and reorders.
+        """
         B = attn_emb.shape[0]
         memory = self._project_memory(attn_emb, False)
         mem_kpm = ~length_mask(attn_emb_len, attn_emb.shape[1])
-        cache: Dict[str, Any] = {"mem_kpm": mem_kpm}
+        static: Dict[str, Any] = {"mem_kpm": mem_kpm}
+        dyn: Dict[str, Any] = {}
         for i, layer in enumerate(self.layers):
             mk, mv = layer.precompute_memory(memory)
-            cache[f"mem_k{i}"], cache[f"mem_v{i}"] = mk, mv
-            cache[f"self_k{i}"] = jnp.zeros(
+            static[f"mem_k{i}"], static[f"mem_v{i}"] = mk, mv
+            dyn[f"self_k{i}"] = jnp.zeros(
                 (B, max_length, self.emb_dim), self.compute_dtype)
-            cache[f"self_v{i}"] = jnp.zeros(
+            dyn[f"self_v{i}"] = jnp.zeros(
                 (B, max_length, self.emb_dim), self.compute_dtype)
         # pad-token flags for generated prefix (reference masks pad
         # tokens in self-attention: transformer_model.py:55-57,85-86)
-        cache["self_pad"] = jnp.zeros((B, max_length), bool)
-        return cache
+        dyn["self_pad"] = jnp.zeros((B, max_length), bool)
+        return static, dyn
 
-    def step(self, word_t: Array, t: Array, cache: Dict[str, Any],
-             is_pad_t: Optional[Array] = None
+    def step(self, word_t: Array, t: Array, static: Dict[str, Any],
+             dyn: Dict[str, Any], is_pad_t: Optional[Array] = None
              ) -> Tuple[Array, Dict[str, Any]]:
         """One decode step. word_t: [B] ids; t: traced position scalar.
 
-        Returns (logit [B, V], updated cache).
+        Returns (logit [B, V], updated dynamic cache).
         """
         B = word_t.shape[0]
-        L = cache["self_k0"].shape[1]
+        L = dyn["self_k0"].shape[1]
         if is_pad_t is None:
             is_pad_t = jnp.zeros((B,), bool)
         self_pad = jax.lax.dynamic_update_slice_in_dim(
-            cache["self_pad"], is_pad_t[:, None], t, axis=1)
+            dyn["self_pad"], is_pad_t[:, None], t, axis=1)
         # mask: future positions OR pad tokens
         kpm = (jnp.arange(L)[None, :] > t) | self_pad
         x = self._embed(word_t[:, None], t, False)[:, 0]
-        new_cache = dict(cache)
-        new_cache["self_pad"] = self_pad
+        new_dyn = {"self_pad": self_pad}
         for i, layer in enumerate(self.layers):
             x, sk, sv = layer.step(
-                x, t, cache[f"self_k{i}"], cache[f"self_v{i}"], kpm,
-                cache[f"mem_k{i}"], cache[f"mem_v{i}"], cache["mem_kpm"])
-            new_cache[f"self_k{i}"], new_cache[f"self_v{i}"] = sk, sv
+                x, t, dyn[f"self_k{i}"], dyn[f"self_v{i}"], kpm,
+                static[f"mem_k{i}"], static[f"mem_v{i}"], static["mem_kpm"])
+            new_dyn[f"self_k{i}"], new_dyn[f"self_v{i}"] = sk, sv
         x = x.astype(jnp.float32)
-        return self._logits(x).astype(jnp.float32), new_cache
+        return self._logits(x).astype(jnp.float32), new_dyn
 
 
 def convert_transformer_decoder(sd, prefix: str = "",
