@@ -1,0 +1,143 @@
+"""Training step (TPU re-design of Runner._train_epoch, run.py:77-148).
+
+One jitted SPMD program per step: forward (mutable batch_stats), loss,
+grads, global-norm clip 1.0, Adam update with a per-iteration LR
+schedule, and the reference's NaN-loss skip (run.py:123-142) expressed
+as a masked update so the step stays branch-free under jit.
+
+Data parallelism: call ``make_train_step`` with a mesh — the batch is
+sharded on axis 0, params replicated; XLA inserts the gradient
+all-reduce over ICI (replaces DDP/NCCL, run_ddp.py:103-108).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jnp.ndarray
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: Array
+
+
+def create_train_state(variables: Dict[str, Any], tx: optax.GradientTransformation,
+                       rng: jax.Array) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        rng=rng,
+    )
+
+
+def make_optimizer(base_lr: float, schedule: Callable,
+                   weight_decay: float = 1e-6,
+                   max_grad_norm: float = 1.0,
+                   trainable_mask: Optional[Any] = None
+                   ) -> optax.GradientTransformation:
+    """Adam + weight decay + grad clip matching the reference recipe
+    (eg_configs/.../cnn14rnn_trm.yaml:45-56, run.py:126).
+
+    torch Adam(weight_decay=w) is L2-regularized Adam (decay added to the
+    gradient before the moment updates), i.e. optax.add_decayed_weights
+    *before* scale_by_adam.
+    """
+    chain = [optax.clip_by_global_norm(max_grad_norm)]
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain += [optax.scale_by_adam(), optax.scale_by_schedule(schedule),
+              optax.scale(-1.0)]
+    tx = optax.chain(*chain)
+    if trainable_mask is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            jax.tree_util.tree_map(
+                lambda m: "train" if m else "freeze", trainable_mask))
+    return tx
+
+
+def make_train_step(model,
+                    loss_fn: Callable[[Dict], Array],
+                    tx: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None,
+                    axis_name: str = "data",
+                    specaug: bool = False,
+                    donate: bool = True):
+    """Build the jitted train step.
+
+    batch keys: wav [B, T], wav_len [B], cap [B, L], cap_len [B]
+    (+ optional temporal_tag).  ``ss_ratio`` is a traced scalar so
+    scheduled-sampling decay doesn't retrigger compilation.
+    """
+
+    def step_fn(state: TrainState, batch: Dict[str, Array],
+                ss_ratio: Array) -> tuple:
+        rng, sample_rng, dropout_rng, specaug_rng = jax.random.split(
+            jax.random.fold_in(state.rng, state.step), 4)
+
+        def compute_loss(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats}
+            kwargs = {}
+            if "temporal_tag" in batch:
+                kwargs["temporal_tag"] = batch["temporal_tag"]
+            out, updates = model.apply(
+                variables, batch["wav"], batch["wav_len"], batch["cap"],
+                batch["cap_len"], ss_ratio=ss_ratio, train=True,
+                specaug=specaug, mutable=["batch_stats"],
+                rngs={"sample": sample_rng, "dropout": dropout_rng,
+                      "specaug": specaug_rng}, **kwargs)
+            out["tgt"] = batch["cap"][:, 1:]
+            out["tgt_len"] = batch["cap_len"] - 1
+            loss = loss_fn(out)
+            return loss, updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+
+        # NaN-loss skip (run.py:123-142): zero the update and keep BN
+        # stats when the loss is non-finite.
+        ok = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_opt = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_opt, state.opt_state)
+        new_params = optax.apply_updates(state.params, updates)
+        new_stats = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_stats, state.batch_stats)
+
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt,
+                                  rng=rng)
+        grad_norm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": grad_norm,
+                   "skipped": ~ok}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )

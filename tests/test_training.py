@@ -1,0 +1,168 @@
+"""Losses, schedules, SWA, and the (data-parallel) train step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+import torch
+
+from audiocaption_tpu.losses import (
+    cross_entropy_loss, label_smoothing_loss, masked_token_loss)
+from audiocaption_tpu.optim import (
+    exponential_decay_with_warmup, noam_schedule, cosine_with_warmup)
+from audiocaption_tpu.parallel import make_mesh, shard_batch, replicate
+from audiocaption_tpu.training import (
+    TrainState, create_train_state, make_train_step, swa_init, swa_update)
+from audiocaption_tpu.training.trainer import make_optimizer
+
+from test_captioner import make_model, init_model, SPECIAL, V
+
+
+# ------------------------------------------------------------- losses ----
+
+def test_cross_entropy_matches_torch():
+    rng = np.random.RandomState(0)
+    logit = rng.randn(3, 5, 11).astype(np.float32)
+    tgt = rng.randint(0, 11, (3, 5))
+    tgt_len = np.array([5, 2, 4])
+    got = float(cross_entropy_loss(jnp.asarray(logit), jnp.asarray(tgt),
+                                   jnp.asarray(tgt_len)))
+    tl = torch.nn.functional.cross_entropy(
+        torch.as_tensor(logit).reshape(-1, 11),
+        torch.as_tensor(tgt).reshape(-1), reduction="none").reshape(3, 5)
+    mask = torch.arange(5)[None] < torch.as_tensor(tgt_len)[:, None]
+    want = float((tl * mask).sum() / mask.sum())
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_label_smoothing_matches_manual():
+    rng = np.random.RandomState(1)
+    Vs = 7
+    logit = rng.randn(2, 4, Vs).astype(np.float32)
+    tgt = rng.randint(0, Vs, (2, 4))
+    tgt_len = np.array([4, 3])
+    smoothing = 0.1
+    got = float(label_smoothing_loss(jnp.asarray(logit), jnp.asarray(tgt),
+                                     jnp.asarray(tgt_len), smoothing))
+    # manual: fill smoothing/(V-1), scatter confidence at tgt
+    lp = torch.as_tensor(logit).log_softmax(-1)
+    dist = torch.full_like(lp, smoothing / (Vs - 1))
+    dist.scatter_(-1, torch.as_tensor(tgt)[..., None], 1 - smoothing)
+    loss = -(dist * lp).sum(-1)
+    mask = torch.arange(4)[None] < torch.as_tensor(tgt_len)[:, None]
+    want = float((loss * mask).sum() / mask.sum())
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_label_smoothing_zero_equals_ce():
+    rng = np.random.RandomState(2)
+    logit = jnp.asarray(rng.randn(2, 3, 9).astype(np.float32))
+    tgt = jnp.asarray(rng.randint(0, 9, (2, 3)))
+    tgt_len = jnp.asarray([3, 2])
+    np.testing.assert_allclose(
+        float(label_smoothing_loss(logit, tgt, tgt_len, 0.0)),
+        float(cross_entropy_loss(logit, tgt, tgt_len)), rtol=1e-6)
+
+
+# ---------------------------------------------------------- schedules ----
+
+def test_exponential_decay_schedule_endpoints():
+    sched = exponential_decay_with_warmup(5e-4, 5e-7, 10000, 2000)
+    # warmup: iteration 1 -> base/warmup, iteration 2000 -> base
+    np.testing.assert_allclose(float(sched(0)), 5e-4 / 2000, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(1999)), 5e-4, rtol=1e-6)
+    # final iteration -> final_lr
+    np.testing.assert_allclose(float(sched(9999)), 5e-7, rtol=1e-5)
+
+
+def test_noam_schedule_peak():
+    sched = noam_schedule(model_size=512, warmup_iters=4000)
+    vals = [float(sched(i)) for i in range(0, 20000, 500)]
+    peak_i = int(np.argmax(vals))
+    assert abs(peak_i * 500 - 4000) <= 500
+
+
+def test_cosine_schedule():
+    sched = cosine_with_warmup(1e-3, 1000, 100)
+    assert float(sched(jnp.asarray(50))) < 1e-3
+    np.testing.assert_allclose(float(sched(jnp.asarray(999))), 0.0,
+                               atol=1e-8)
+
+
+# ----------------------------------------------------------------- SWA ----
+
+def test_swa_average():
+    p0 = {"w": jnp.asarray([1.0, 1.0])}
+    s0 = {"m": jnp.asarray([0.0])}
+    swa = swa_init(p0, s0)
+    swa = swa_update(swa, {"w": jnp.asarray([3.0, 3.0])},
+                     {"m": jnp.asarray([2.0])})
+    np.testing.assert_allclose(np.asarray(swa[0]["w"]), [3.0, 3.0])
+    swa = swa_update(swa, {"w": jnp.asarray([5.0, 5.0])},
+                     {"m": jnp.asarray([4.0])})
+    np.testing.assert_allclose(np.asarray(swa[0]["w"]), [4.0, 4.0])
+    np.testing.assert_allclose(np.asarray(swa[1]["m"]), [3.0])
+    assert int(swa[2]) == 2
+
+
+# ---------------------------------------------------------- train step ----
+
+def _setup_train(family="transformer"):
+    model = make_model(family)
+    variables, (wav, wav_len, cap, cap_len) = init_model(model)
+    sched = exponential_decay_with_warmup(1e-3, 1e-5, 100, 5)
+    tx = make_optimizer(1e-3, sched)
+    state = create_train_state(variables, tx, jax.random.PRNGKey(0))
+    batch = {"wav": wav, "wav_len": wav_len, "cap": cap, "cap_len": cap_len}
+    return model, state, batch
+
+
+def test_train_step_reduces_loss():
+    model, state, batch = _setup_train()
+    loss_fn = masked_token_loss("label_smoothing", 0.1)
+    tx = make_optimizer(1e-3, exponential_decay_with_warmup(1e-3, 1e-5, 100, 5))
+    step = make_train_step(model, loss_fn, tx, donate=False)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jnp.float32(1.0))
+        losses.append(float(metrics["loss"]))
+        assert not bool(metrics["skipped"])
+    assert losses[-1] < losses[0]
+
+
+def test_train_step_data_parallel_mesh():
+    """8-virtual-device data parallelism: loss ~= single-device loss."""
+    model, state, batch = _setup_train()
+    # pad the batch to 8 rows so it shards evenly
+    batch8 = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x] * 4, axis=0), batch)
+    loss_fn = masked_token_loss("label_smoothing", 0.1)
+    tx = make_optimizer(1e-3, exponential_decay_with_warmup(1e-3, 1e-5, 100, 5))
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    step_mesh = make_train_step(model, loss_fn, tx, mesh=mesh, donate=False)
+    step_single = make_train_step(model, loss_fn, tx, donate=False)
+
+    state_m = replicate(state, mesh)
+    batch_m = shard_batch(batch8, mesh)
+    _, metrics_m = step_mesh(state_m, batch_m, jnp.float32(1.0))
+    _, metrics_s = step_single(state, batch8, jnp.float32(1.0))
+    np.testing.assert_allclose(float(metrics_m["loss"]),
+                               float(metrics_s["loss"]), rtol=1e-4)
+
+
+def test_train_step_skips_nan():
+    model, state, batch = _setup_train()
+    loss_fn = masked_token_loss("label_smoothing", 0.1)
+    tx = make_optimizer(1e-3, exponential_decay_with_warmup(1e-3, 1e-5, 100, 5))
+    step = make_train_step(model, loss_fn, tx, donate=False)
+    bad = dict(batch)
+    bad["wav"] = batch["wav"].at[0, 0].set(jnp.nan)
+    new_state, metrics = step(state, bad, jnp.float32(1.0))
+    assert bool(metrics["skipped"])
+    # params unchanged
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    p1 = jax.tree_util.tree_leaves(new_state.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
