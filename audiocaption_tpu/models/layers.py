@@ -269,6 +269,9 @@ class GRU(nn.Module):
                 xin = reverse_by_length(x, lens) if d == 1 else x
                 x_proj = xin @ w_ih + b_ih
                 h_init = h0[layer * num_dir + d]
+                # materialize cell params outside the scan (flax cannot
+                # create params inside lax.scan bodies); DCE removes it
+                cell(x_proj[:, 0], h_init)
                 outs, h_n = _gru_scan(x_proj, mask, h_init,
                                       lambda xp, h, c=cell: c(xp, h))
                 if d == 1:
