@@ -345,6 +345,7 @@ class MultiheadAttention(nn.Module):
         self.k_proj = dense("k_proj")
         self.v_proj = dense("v_proj")
         self.out_proj = dense("out_proj")
+        self.attn_dropout = nn.Dropout(self.dropout)
 
     def _attend(self, q: Array, k: Array, v: Array,
                 key_padding_mask: Optional[Array],
@@ -367,7 +368,7 @@ class MultiheadAttention(nn.Module):
                                scores)
         probs = jax.nn.softmax(scores, axis=-1)
         if train and self.dropout > 0:
-            probs = nn.Dropout(self.dropout, deterministic=False)(probs)
+            probs = self.attn_dropout(probs, deterministic=False)
         out = jnp.einsum("bhqk,bhkd->bhqd",
                          probs.astype(self.compute_dtype),
                          v.astype(self.compute_dtype),
@@ -449,6 +450,7 @@ class TransformerDecoderLayer(nn.Module):
         self.linear2 = nn.Dense(self.d_model, kernel_init=torch_linear_init,
                                 dtype=cd, param_dtype=jnp.float32,
                                 name="linear2")
+        self.dropout_layer = nn.Dropout(self.dropout)
 
     def _ffn(self, x: Array, drop) -> Array:
         h = drop(nn.relu(self.linear1(x)))
@@ -459,7 +461,7 @@ class TransformerDecoderLayer(nn.Module):
                  tgt_key_padding_mask: Optional[Array] = None,
                  memory_key_padding_mask: Optional[Array] = None,
                  train: bool = False) -> Array:
-        drop = lambda y: (nn.Dropout(self.dropout, deterministic=False)(y)
+        drop = lambda y: (self.dropout_layer(y, deterministic=False)
                           if train and self.dropout > 0 else y)
         sa = self.self_attn(x, x, x, key_padding_mask=tgt_key_padding_mask,
                             attn_mask=tgt_mask, train=train)

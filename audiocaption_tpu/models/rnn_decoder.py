@@ -77,10 +77,11 @@ class BahAttnCatFcDecoder(nn.Module):
         self.classifier = nn.Dense(self.vocab_size,
                                    kernel_init=torch_linear_init,
                                    name="classifier")
+        self.dropout_layer = nn.Dropout(self.dropout)
 
     def _drop(self, x: Array, train: bool) -> Array:
         if train and self.dropout > 0:
-            return nn.Dropout(self.dropout, deterministic=False)(x)
+            return self.dropout_layer(x, deterministic=False)
         return x
 
     def init_cache(self, attn_emb: Array, attn_emb_len: Array,

@@ -80,11 +80,12 @@ class TransformerDecoder(nn.Module):
                                        kernel_init=torch_linear_init,
                                        dtype=cd, param_dtype=jnp.float32,
                                        name="classifier")
+        self.dropout_layer = nn.Dropout(self.dropout)
         self.pe = jnp.asarray(sinusoidal_positions(self.max_pos, self.emb_dim))
 
     def _drop(self, x: Array, train: bool) -> Array:
         if train and self.dropout > 0:
-            return nn.Dropout(self.dropout, deterministic=False)(x)
+            return self.dropout_layer(x, deterministic=False)
         return x
 
     def _logits(self, h: Array) -> Array:

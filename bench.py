@@ -1,0 +1,110 @@
+"""Benchmark: batched 10 s clip captioning throughput on one TPU chip.
+
+Workload = the BASELINE.md north-star config: flagship EffB2 + 2-layer
+transformer decoder (vocab 4981), batched padded 16 kHz 10 s clips,
+beam search (beam 3, max_length 20), bfloat16 encoder compute.
+
+Prints ONE JSON line:
+  {"metric": "clips_per_sec_per_chip", "value": N, "unit": "clips/s",
+   "vs_baseline": null, ...}
+``vs_baseline`` is null because the reference repo publishes no
+benchmark numbers (BASELINE.json "published": {}).
+
+Extra diagnostics (greedy throughput, p50 single-clip latency) go to
+stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bench_fn(fn, args, iters=8, warmup=2):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from audiocaption_tpu.models.captioner import generate
+    from audiocaption_tpu.models.zoo import effb2_trm
+
+    sr, seconds = 16000, 10
+    vocab = 4981
+    model = effb2_trm(vocab_size=vocab, compute_dtype=jnp.bfloat16)
+    wav0 = jnp.zeros((1, sr))
+    cap0 = jnp.ones((1, 4), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        wav0, jnp.asarray([sr]), cap0, jnp.asarray([4]), train=False)
+
+    rng = np.random.RandomState(0)
+
+    def make_batch(B):
+        wav = jnp.asarray(rng.randn(B, seconds * sr).astype(np.float32))
+        lens = jnp.asarray(
+            rng.randint(int(0.6 * seconds * sr), seconds * sr, B)
+            .astype(np.int32))
+        return wav, lens
+
+    @jax.jit
+    def beam_fn(wav, wav_len):
+        return generate(model, variables, wav, wav_len,
+                        sample_method="beam", beam_size=3,
+                        max_length=20)["seq"]
+
+    @jax.jit
+    def greedy_fn(wav, wav_len):
+        return generate(model, variables, wav, wav_len,
+                        sample_method="greedy", max_length=20)["seq"]
+
+    best = 0.0
+    best_cfg = None
+    for B in (32, 64, 128):
+        try:
+            args = make_batch(B)
+            dt = _bench_fn(beam_fn, args)
+            cps = B / dt
+            print(f"beam3 B={B}: {dt * 1e3:.1f} ms/batch, {cps:.1f} clips/s",
+                  file=sys.stderr)
+            if cps > best:
+                best, best_cfg = cps, f"beam3_b{B}"
+        except Exception as e:  # OOM at large batch: keep best so far
+            print(f"B={B} failed: {type(e).__name__}", file=sys.stderr)
+            break
+
+    # diagnostics
+    try:
+        args = make_batch(64)
+        dt = _bench_fn(greedy_fn, args)
+        print(f"greedy B=64: {dt * 1e3:.1f} ms/batch, {64 / dt:.1f} clips/s",
+              file=sys.stderr)
+        one = make_batch(1)
+        lat = _bench_fn(greedy_fn, one, iters=16)
+        print(f"greedy single-clip p50 latency ~ {lat * 1e3:.2f} ms",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"diagnostics failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "clips_per_sec_per_chip",
+        "value": round(best, 2),
+        "unit": "clips/s",
+        "vs_baseline": None,
+        "workload": "batched 10s 16kHz clips, EffB2+Trm beam3 len20, bf16",
+        "config": best_cfg,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
