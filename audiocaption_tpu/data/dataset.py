@@ -1,0 +1,181 @@
+"""HDF5-backed audio (caption) datasets
+(captioning/datasets/caption_dataset.py:20-227).
+
+Map-style datasets compatible with torch.utils.data.DataLoader (used for
+its battle-tested multiprocess prefetching; items are plain numpy, the
+device path is pure JAX).  Key behaviors mirrored from the reference:
+
+  * ``wav.csv`` maps audio_id -> hdf5_path (tab-separated,
+    caption_dataset.py:78-85); AudioCaps ids fall back to "Y{id}.wav"
+    keys (train_util.py:53-61);
+  * per-worker lazy h5 handle cache, re-opened after fork (:20-36,
+    106-108);
+  * resample orig_sr -> target_sr (scipy polyphase; replaces
+    torchaudio), then random-crop / zero-pad to ``audio_duration``
+    seconds when set (:110-129);
+  * CaptionDataset yields one item per (audio_id, cap_id) with the raw
+    caption string tokenized later in the collate (:174-227).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from fractions import Fraction
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+
+def read_wav_csv(path: str) -> Dict[str, str]:
+    """wav.csv (tab-separated: audio_id, hdf5_path | file_name)."""
+    import csv
+    mapping = {}
+    with open(path) as f:
+        reader = csv.DictReader(f, delimiter="\t")
+        for row in reader:
+            key = row.get("hdf5_path") or row.get("file_name")
+            mapping[row["audio_id"]] = key
+    return mapping
+
+
+def load_caption_json(path: str, zh: bool = False) -> Dict[str, List[str]]:
+    """caption json -> {audio_id: [caption strings]} (the runner's
+    key2refs construction, train_eval/base.py:322-328)."""
+    with open(path) as f:
+        data = json.load(f)
+    key2refs: Dict[str, List[str]] = {}
+    for audio in data["audios"]:
+        refs = []
+        for cap in audio["captions"]:
+            if zh:
+                refs.append(cap.get("tokens", cap.get("caption", "")))
+            else:
+                refs.append(cap.get("caption", cap.get("tokens", "")))
+        key2refs[audio["audio_id"]] = refs
+    return key2refs
+
+
+def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    if orig_sr == target_sr:
+        return wav
+    from scipy.signal import resample_poly
+    frac = Fraction(target_sr, orig_sr)
+    return resample_poly(wav, frac.numerator, frac.denominator
+                         ).astype(np.float32)
+
+
+class _H5Cache:
+    """Lazy per-process h5 file handles (re-created after fork)."""
+
+    def __init__(self):
+        self._handles: Dict[str, "h5py.File"] = {}
+        self._pid = None
+
+    def read(self, h5_path: str, key: str) -> np.ndarray:
+        import os
+        if self._pid != os.getpid():
+            self._handles = {}
+            self._pid = os.getpid()
+        if h5_path not in self._handles:
+            self._handles[h5_path] = h5py.File(h5_path, "r")
+        f = self._handles[h5_path]
+        if key not in f and not key.startswith("Y"):
+            alt = f"Y{key}.wav"   # AudioCaps packing quirk
+            if alt in f:
+                key = alt
+        return np.asarray(f[key], np.float32)
+
+
+class InferenceDataset:
+    """audio only: {audio_id, wav} items."""
+
+    def __init__(self,
+                 features: Dict[str, str],
+                 orig_sr: Optional[int] = None,
+                 target_sr: Optional[int] = None,
+                 audio_duration: Optional[float] = None,
+                 transforms=None,
+                 load_into_mem: bool = False):
+        wav_csv = features["wav"] if isinstance(features, dict) else features
+        self.aid_to_h5 = read_wav_csv(wav_csv)
+        self.audio_ids = list(self.aid_to_h5.keys())
+        self.orig_sr = orig_sr
+        self.target_sr = target_sr
+        self.audio_duration = audio_duration
+        self.transforms = transforms or []
+        self.cache = _H5Cache()
+        self.mem: Optional[Dict[str, np.ndarray]] = None
+        if load_into_mem:
+            self.mem = {aid: self._load(aid) for aid in self.audio_ids}
+
+    def _load(self, audio_id: str) -> np.ndarray:
+        wav = self.cache.read(self.aid_to_h5[audio_id], audio_id)
+        if self.orig_sr and self.target_sr:
+            wav = resample(wav, self.orig_sr, self.target_sr)
+        return wav
+
+    def _crop_or_pad(self, wav: np.ndarray) -> np.ndarray:
+        if self.audio_duration is None:
+            return wav
+        sr = self.target_sr or self.orig_sr
+        n = int(self.audio_duration * sr)
+        if len(wav) > n:
+            start = random.randint(0, len(wav) - n)
+            return wav[start:start + n]
+        if len(wav) < n:
+            return np.pad(wav, (0, n - len(wav)))
+        return wav
+
+    def __len__(self):
+        return len(self.audio_ids)
+
+    def get_audio(self, audio_id: str) -> np.ndarray:
+        wav = (self.mem[audio_id] if self.mem is not None
+               else self._load(audio_id))
+        wav = self._crop_or_pad(wav)
+        for tf in self.transforms:
+            wav = tf(wav)
+        return np.asarray(wav, np.float32)
+
+    def __getitem__(self, index: int) -> Dict:
+        aid = self.audio_ids[index]
+        return {"audio_id": aid, "wav": self.get_audio(aid)}
+
+
+class CaptionDataset(InferenceDataset):
+    """One item per (audio_id, cap_id): adds the raw caption string
+    (tokenized at collate) (caption_dataset.py:174-227)."""
+
+    def __init__(self, features: Dict[str, str], caption: str,
+                 zh: bool = False, **kwargs):
+        super().__init__(features, **kwargs)
+        with open(caption) as f:
+            data = json.load(f)
+        self.items: List[Dict] = []
+        text_key = "tokens" if not zh else "tokens"
+        for audio in data["audios"]:
+            aid = audio["audio_id"]
+            if aid not in self.aid_to_h5:
+                continue
+            for cap in audio["captions"]:
+                text = cap.get("tokens", cap.get("caption", ""))
+                self.items.append({
+                    "audio_id": aid,
+                    "cap_id": str(cap.get("cap_id", 0)),
+                    "cap": text,
+                })
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index: int) -> Dict:
+        item = dict(self.items[index])
+        item["wav"] = self.get_audio(item["audio_id"])
+        return item
