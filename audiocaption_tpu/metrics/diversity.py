@@ -1,0 +1,46 @@
+"""Caption diversity metrics (python_scripts/eval/diversity.py:14-31):
+vocabulary size, % novel captions vs the training corpus,
+distinct-1/distinct-2, and self-BLEU over the prediction set.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, Iterable, List, Optional
+
+from audiocaption_tpu.metrics.bleu import corpus_bleu
+
+
+def diversity_metrics(predictions: List[str],
+                      train_captions: Optional[Iterable[str]] = None
+                      ) -> Dict[str, float]:
+    tokens = [p.split() for p in predictions]
+    vocab = set(t for toks in tokens for t in toks)
+
+    def distinct(n: int) -> float:
+        grams = Counter()
+        total = 0
+        for toks in tokens:
+            for i in range(len(toks) - n + 1):
+                grams[tuple(toks[i:i + n])] += 1
+                total += 1
+        return len(grams) / total if total else 0.0
+
+    out = {
+        "vocab_size": float(len(vocab)),
+        "distinct_1": distinct(1),
+        "distinct_2": distinct(2),
+    }
+    if train_captions is not None:
+        train_set = set(train_captions)
+        novel = sum(1 for p in predictions if p not in train_set)
+        out["novel_ratio"] = novel / max(len(predictions), 1)
+
+    # self-BLEU: each prediction scored against all the others
+    if len(predictions) > 1:
+        key2pred = {str(i): [p] for i, p in enumerate(predictions)}
+        key2refs = {str(i): predictions[:i] + predictions[i + 1:]
+                    for i in range(len(predictions))}
+        bleu, _ = corpus_bleu(key2pred, key2refs)
+        out["self_bleu_4"] = bleu[3]
+    return out

