@@ -88,13 +88,16 @@ class Effb2TrmCaptioningModel:
             tie_weights=config.decoder_we_tie_weights,
             compute_dtype=compute_dtype)
         if variables is None:
-            wav = jnp.zeros((1, config.sample_rate))
-            wav_len = jnp.asarray([config.sample_rate])
-            cap = jnp.ones((1, 4), jnp.int32)
-            variables = self.model.init(
-                {"params": jax.random.PRNGKey(seed),
-                 "sample": jax.random.PRNGKey(seed + 1)},
-                wav, wav_len, cap, jnp.asarray([4]), train=False)
+            with jax.default_device(jax.devices("cpu")[0]):
+                wav = jnp.zeros((1, config.sample_rate))
+                wav_len = jnp.asarray([config.sample_rate])
+                cap = jnp.ones((1, 4), jnp.int32)
+                variables = self.model.init(
+                    {"params": jax.random.PRNGKey(seed),
+                     "sample": jax.random.PRNGKey(seed + 1)},
+                    wav, wav_len, cap, jnp.asarray([4]), train=False)
+            if jax.devices()[0].platform != "cpu":
+                variables = jax.device_put(variables, jax.devices()[0])
         self.variables = variables
         self._decode = {}
 
@@ -179,18 +182,23 @@ class Cnn14RnnTempAttnGruModel:
             decoder_dropout=config.decoder_dropout,
             compute_dtype=compute_dtype)
         self.sed = Cnn8RnnSedModel(compute_dtype=compute_dtype)
-        if variables is None:
-            sr = config.sample_rate
-            wav = jnp.zeros((1, sr))
-            cap = jnp.ones((1, 4), jnp.int32)
-            variables = self.model.init(
-                {"params": jax.random.PRNGKey(seed),
-                 "sample": jax.random.PRNGKey(seed + 1)},
-                wav, jnp.asarray([sr]), cap, jnp.asarray([4]), train=False,
-                temporal_tag=jnp.zeros((1,), jnp.int32))
-        if sed_variables is None:
-            lms = jnp.zeros((1, 101, 64))
-            sed_variables = self.sed.init(jax.random.PRNGKey(seed + 2), lms)
+        with jax.default_device(jax.devices("cpu")[0]):
+            if variables is None:
+                sr = config.sample_rate
+                wav = jnp.zeros((1, sr))
+                cap = jnp.ones((1, 4), jnp.int32)
+                variables = self.model.init(
+                    {"params": jax.random.PRNGKey(seed),
+                     "sample": jax.random.PRNGKey(seed + 1)},
+                    wav, jnp.asarray([sr]), cap, jnp.asarray([4]),
+                    train=False, temporal_tag=jnp.zeros((1,), jnp.int32))
+            if sed_variables is None:
+                lms = jnp.zeros((1, 101, 64))
+                sed_variables = self.sed.init(
+                    jax.random.PRNGKey(seed + 2), lms)
+        if jax.devices()[0].platform != "cpu":
+            variables = jax.device_put(variables, jax.devices()[0])
+            sed_variables = jax.device_put(sed_variables, jax.devices()[0])
         self.variables = variables
         self.sed_variables = sed_variables
         self._fns = {}

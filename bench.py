@@ -40,11 +40,16 @@ def main():
     sr, seconds = 16000, 10
     vocab = 4981
     model = effb2_trm(vocab_size=vocab, compute_dtype=jnp.bfloat16)
-    wav0 = jnp.zeros((1, sr))
-    cap0 = jnp.ones((1, 4), jnp.int32)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
-        wav0, jnp.asarray([sr]), cap0, jnp.asarray([4]), train=False)
+    # init on the (fast-compiling) CPU backend, then transfer — the
+    # remote-compiled TPU backend takes minutes for the init graph
+    with jax.default_device(jax.devices("cpu")[0]):
+        wav0 = jnp.zeros((1, sr))
+        cap0 = jnp.ones((1, 4), jnp.int32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sample": jax.random.PRNGKey(1)},
+            wav0, jnp.asarray([sr]), cap0, jnp.asarray([4]), train=False)
+    variables = jax.device_put(variables, jax.devices()[0])
 
     rng = np.random.RandomState(0)
 
@@ -68,7 +73,7 @@ def main():
 
     best = 0.0
     best_cfg = None
-    for B in (32, 64, 128):
+    for B in (64, 128, 256, 512):
         try:
             args = make_batch(B)
             dt = _bench_fn(beam_fn, args)
