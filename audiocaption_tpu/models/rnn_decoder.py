@@ -180,3 +180,184 @@ def convert_bahattn_decoder(sd, prefix: str = "", num_layers: int = 1,
         params["temporal_embedding"] = convert.embedding(
             sd, k("temporal_embedding"))
     return params
+
+
+class RnnFcDecoder(nn.Module):
+    """GRU decoder conditioned only on the pooled fc embedding
+    (rnn_decoder.py:46-75, used by FcModel, fc_model.py:10-141):
+    rnn_input = cat(word_emb, fc_proj)."""
+    emb_dim: int
+    vocab_size: int
+    fc_emb_dim: int
+    d_model: int
+    attn_emb_dim: int = 0   # API parity; unused
+    dropout: float = 0.5
+    num_layers: int = 1
+
+    def setup(self):
+        self.word_embedding = nn.Embed(
+            self.vocab_size, self.emb_dim,
+            embedding_init=nn.initializers.xavier_uniform(),
+            name="word_embedding")
+        self.model = GRUCellStack(hidden_size=self.d_model,
+                                  num_layers=self.num_layers, name="model")
+        self.fc_proj = nn.Dense(self.emb_dim, kernel_init=torch_linear_init,
+                                name="fc_proj")
+        self.classifier = nn.Dense(self.vocab_size,
+                                   kernel_init=torch_linear_init,
+                                   name="classifier")
+        self.dropout_layer = nn.Dropout(self.dropout)
+
+    def _drop(self, x, train):
+        if train and self.dropout > 0:
+            return self.dropout_layer(x, deterministic=False)
+        return x
+
+    def init_cache(self, attn_emb, attn_emb_len, fc_emb, max_length):
+        B = fc_emb.shape[0]
+        static = {"p_fc": self.fc_proj(fc_emb)}
+        dyn = {"state": jnp.zeros((B, self.num_layers, self.d_model),
+                                  jnp.float32)}
+        return static, dyn
+
+    def step(self, word_t, t, static, dyn, train=False):
+        embed = self._drop(self.word_embedding(word_t), train)
+        state = jnp.transpose(dyn["state"], (1, 0, 2))
+        rnn_input = jnp.concatenate([embed, static["p_fc"]], axis=-1)
+        out, new_state = self.model(rnn_input, state)
+        return (self.classifier(out).astype(jnp.float32),
+                {"state": jnp.transpose(new_state, (1, 0, 2))})
+
+
+class BahAttnAddFcDecoder(BahAttnCatFcDecoder):
+    """Additive fusion variant (rnn_decoder.py:218-273):
+    rnn_input = word_emb + ctx + fc_proj, attention over *projected*
+    memory (attn_proj to emb_dim)."""
+
+    def setup(self):
+        a_size = self.attn_size if self.attn_size is not None else self.d_model
+        self.word_embedding = nn.Embed(
+            self.vocab_size, self.emb_dim,
+            embedding_init=nn.initializers.xavier_uniform(),
+            name="word_embedding")
+        self.model = GRUCellStack(hidden_size=self.d_model,
+                                  num_layers=self.num_layers, name="model")
+        self.attn = Seq2SeqAttention(a_size, name="attn")
+        self.fc_proj = nn.Dense(self.emb_dim, kernel_init=torch_linear_init,
+                                name="fc_proj")
+        self.attn_proj = nn.Dense(self.emb_dim,
+                                  kernel_init=torch_linear_init,
+                                  name="attn_proj")
+        self.classifier = nn.Dense(self.vocab_size,
+                                   kernel_init=torch_linear_init,
+                                   name="classifier")
+        self.dropout_layer = nn.Dropout(self.dropout)
+
+    def init_cache(self, attn_emb, attn_emb_len, fc_emb, max_length):
+        B = attn_emb.shape[0]
+        static = {
+            "attn_emb": self.attn_proj(attn_emb),   # projected memory
+            "attn_emb_len": attn_emb_len,
+            "p_fc": self.fc_proj(fc_emb),
+        }
+        dyn = {"state": jnp.zeros((B, self.num_layers, self.d_model),
+                                  jnp.float32),
+               "attn_weight": jnp.zeros((B, attn_emb.shape[1]),
+                                        jnp.float32)}
+        return static, dyn
+
+    def step(self, word_t, t, static, dyn, train=False):
+        embed = self._drop(self.word_embedding(word_t), train)
+        state = jnp.transpose(dyn["state"], (1, 0, 2))
+        query = jnp.transpose(state, (1, 0, 2)).reshape(state.shape[1], -1)
+        ctx, attn_weight = self.attn(query, static["attn_emb"],
+                                     static["attn_emb_len"])
+        rnn_input = embed + ctx + static["p_fc"]
+        out, new_state = self.model(rnn_input, state)
+        return (self.classifier(out).astype(jnp.float32),
+                {"state": jnp.transpose(new_state, (1, 0, 2)),
+                 "attn_weight": attn_weight})
+
+
+class ConditionalBahAttnDecoder(BahAttnCatFcDecoder):
+    """2-class condition variant (rnn_decoder.py:277-345): the fc slot is
+    replaced by a soft condition embedding [1-c, c] @ E."""
+
+    def setup(self):
+        super().setup()
+        self.condition_embedding = nn.Embed(
+            2, self.emb_dim,
+            embedding_init=nn.initializers.xavier_uniform(),
+            name="condition_embedding")
+
+    def init_cache(self, attn_emb, attn_emb_len, fc_emb, max_length,
+                   condition=None):
+        static, dyn = super().init_cache(attn_emb, attn_emb_len, fc_emb,
+                                         max_length)
+        if condition is None:
+            condition = jnp.zeros((attn_emb.shape[0],), jnp.float32)
+        soft = jnp.stack([1.0 - condition, condition], axis=-1)
+        static["p_fc"] = soft @ self.condition_embedding.embedding
+        return static, dyn
+
+
+class StyleBahAttnDecoder(BahAttnCatFcDecoder):
+    """Style-vector variant (rnn_decoder.py:412-466): the fc slot is a
+    caller-provided style vector (already emb_dim)."""
+
+    def init_cache(self, attn_emb, attn_emb_len, fc_emb, max_length,
+                   style=None):
+        static, dyn = super().init_cache(attn_emb, attn_emb_len, fc_emb,
+                                         max_length)
+        if style is not None:
+            static["p_fc"] = style
+        return static, dyn
+
+
+class SpecificityBahAttnDecoder(BahAttnCatFcDecoder):
+    """Scalar-specificity variant (rnn_decoder.py:519-575): raw context
+    (no projection) and a scalar condition concatenated to the rnn
+    input."""
+
+    def setup(self):
+        a_size = self.attn_size if self.attn_size is not None else self.d_model
+        self.word_embedding = nn.Embed(
+            self.vocab_size, self.emb_dim,
+            embedding_init=nn.initializers.xavier_uniform(),
+            name="word_embedding")
+        self.model = GRUCellStack(hidden_size=self.d_model,
+                                  num_layers=self.num_layers, name="model")
+        self.attn = Seq2SeqAttention(a_size, name="attn")
+        self.classifier = nn.Dense(self.vocab_size,
+                                   kernel_init=torch_linear_init,
+                                   name="classifier")
+        self.dropout_layer = nn.Dropout(self.dropout)
+
+    def init_cache(self, attn_emb, attn_emb_len, fc_emb, max_length,
+                   condition=None):
+        B = attn_emb.shape[0]
+        if condition is None:
+            condition = jnp.zeros((B,), jnp.float32)
+        static = {
+            "attn_emb": attn_emb,
+            "attn_emb_len": attn_emb_len,
+            "condition": condition,
+        }
+        dyn = {"state": jnp.zeros((B, self.num_layers, self.d_model),
+                                  jnp.float32),
+               "attn_weight": jnp.zeros((B, attn_emb.shape[1]),
+                                        jnp.float32)}
+        return static, dyn
+
+    def step(self, word_t, t, static, dyn, train=False):
+        embed = self._drop(self.word_embedding(word_t), train)
+        state = jnp.transpose(dyn["state"], (1, 0, 2))
+        query = jnp.transpose(state, (1, 0, 2)).reshape(state.shape[1], -1)
+        ctx, attn_weight = self.attn(query, static["attn_emb"],
+                                     static["attn_emb_len"])
+        rnn_input = jnp.concatenate(
+            [embed, ctx, static["condition"][:, None]], axis=-1)
+        out, new_state = self.model(rnn_input, state)
+        return (self.classifier(out).astype(jnp.float32),
+                {"state": jnp.transpose(new_state, (1, 0, 2)),
+                 "attn_weight": attn_weight})
