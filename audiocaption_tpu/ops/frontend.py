@@ -213,12 +213,27 @@ class LogMelFrontend:
         )                                                        # [F, n_mels]
 
     def power_spectrogram(self, wav: jnp.ndarray) -> jnp.ndarray:
-        """[B, T] -> power spec [B, n_frames, n_freqs] (float32)."""
+        """[B, T] -> power spec [B, n_frames, n_freqs] (float32).
+
+        The windowed DFT runs as a stride-``hop`` conv1d whose filters
+        are the windowed cos/-sin basis rows: framing happens inside the
+        conv engine (MXU) instead of materializing the 4x-duplicated
+        [B, T_frames, n_fft] frame tensor in HBM that an explicit
+        gather + matmul would create.
+        """
         wav = wav.astype(jnp.float32)
-        frames = frame_signal(wav, self.config.n_fft, self.config.hop)
+        pad = self.config.n_fft // 2
+        wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
         n_freqs = self.config.n_fft // 2 + 1
-        proj = jnp.einsum("btn,nf->btf", frames, jnp.asarray(self._basis),
-                          preferred_element_type=jnp.float32)
+        # [B, T, 1] (NWC) * filters [n_fft, 1, 2F] (WIO), stride hop
+        proj = jax.lax.conv_general_dilated(
+            wav[..., None],
+            jnp.asarray(self._basis)[:, None, :],
+            window_strides=(self.config.hop,),
+            padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )                                   # [B, n_frames, 2F]
         re, im = proj[..., :n_freqs], proj[..., n_freqs:]
         return re * re + im * im
 

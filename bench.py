@@ -23,13 +23,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _bench_fn(fn, args, iters=8, warmup=2):
+_SUM = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
+
+def _sync(out):
+    """Force device completion via a 4-byte scalar transfer.
+
+    On the axon TPU tunnel ``block_until_ready`` does not actually wait
+    and bulk host transfers are extremely slow, so the only reliable
+    sync is fetching an on-device reduction of the output.
+    """
+    return float(_SUM(out))
+
+
+def _bench_fn(fn, args, iters=20, warmup=2):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
