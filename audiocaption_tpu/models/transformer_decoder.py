@@ -202,3 +202,109 @@ def convert_transformer_decoder(sd, prefix: str = "",
     if not tie_weights:
         params["classifier"] = convert.linear(sd, k("classifier"), bias=False)
     return params
+
+
+class EventTransformerDecoder(TransformerDecoder):
+    """AudioSet-event conditioned decoder
+    (transformer_decoder.py:146-174): a per-sample event embedding is
+    added to the scaled word embeddings before positional encoding.  The
+    event embedding comes from EventEncoder: the 527-class label
+    distribution times a learned embedding table
+    (transformer_model.py:166-178)."""
+    event_classes: int = 527
+
+    def setup(self):
+        super().setup()
+        self.event_embedding = nn.Embed(
+            self.event_classes, self.emb_dim,
+            embedding_init=nn.initializers.xavier_uniform(),
+            name="event_embedding")
+
+    def encode_event(self, event_probs: Array) -> Array:
+        """[N, classes] label distribution -> [N, emb_dim]."""
+        probs = event_probs / jnp.maximum(
+            jnp.sum(event_probs, axis=-1, keepdims=True), 1e-8)
+        return probs @ self.event_embedding.embedding
+
+    def _embed(self, word, pos_offset, train, cond=None):
+        e = self.word_embedding(word)
+        e = self._drop(e, train) * math.sqrt(self.emb_dim)
+        if cond is not None:
+            e = e + cond[:, None, :]
+        T = word.shape[-1]
+        if isinstance(pos_offset, int) and pos_offset == 0:
+            pe = self.pe[:T]
+        else:
+            pe = jax.lax.dynamic_slice_in_dim(self.pe, pos_offset, T, axis=0)
+        e = e + pe[None, :, :]
+        return self._drop(e, train).astype(self.compute_dtype)
+
+    def __call__(self, word, attn_emb, attn_emb_len,
+                 cap_padding_mask=None, train=False, event=None):
+        memory = self._project_memory(attn_emb, train)
+        mem_kpm = ~length_mask(attn_emb_len, attn_emb.shape[1])
+        cond = self.encode_event(event) if event is not None else None
+        x = self._embed(word, 0, train, cond)
+        tgt_mask = causal_mask(word.shape[1])
+        for layer in self.layers:
+            x = layer(x, memory, tgt_mask=tgt_mask,
+                      tgt_key_padding_mask=cap_padding_mask,
+                      memory_key_padding_mask=mem_kpm, train=train)
+        x = x.astype(jnp.float32)
+        return {"logit": self._logits(x).astype(jnp.float32), "embed": x}
+
+    def init_cache(self, attn_emb, attn_emb_len, max_length, event=None):
+        static, dyn = super().init_cache(attn_emb, attn_emb_len, max_length)
+        if event is not None:
+            static["cond"] = self.encode_event(event)
+        return static, dyn
+
+    def step(self, word_t, t, static, dyn, is_pad_t=None):
+        B = word_t.shape[0]
+        L = dyn["self_k0"].shape[1]
+        if is_pad_t is None:
+            is_pad_t = jnp.zeros((B,), bool)
+        self_pad = jax.lax.dynamic_update_slice_in_dim(
+            dyn["self_pad"], is_pad_t[:, None], t, axis=1)
+        kpm = (jnp.arange(L)[None, :] > t) | self_pad
+        cond = static.get("cond")
+        x = self._embed(word_t[:, None], t, False, cond)[:, 0]
+        new_dyn = {"self_pad": self_pad}
+        for i, layer in enumerate(self.layers):
+            x, sk, sv = layer.step(
+                x, t, dyn[f"self_k{i}"], dyn[f"self_v{i}"], kpm,
+                static[f"mem_k{i}"], static[f"mem_v{i}"],
+                static["mem_kpm"])
+            new_dyn[f"self_k{i}"], new_dyn[f"self_v{i}"] = sk, sv
+        x = x.astype(jnp.float32)
+        return self._logits(x).astype(jnp.float32), new_dyn
+
+
+class KeywordProbTransformerDecoder(EventTransformerDecoder):
+    """Keyword-probability conditioned decoder
+    (transformer_decoder.py:177-214): keyword probs are projected and
+    added to word embeddings, followed by a LayerNorm, before PE."""
+    keyword_classes_num: int = 527
+
+    def setup(self):
+        TransformerDecoder.setup(self)
+        self.keyword_proj = nn.Dense(self.emb_dim,
+                                     kernel_init=torch_linear_init,
+                                     name="keyword_proj")
+        self.word_keyword_norm = LayerNorm(name="word_keyword_norm")
+
+    def encode_event(self, keyword_probs: Array) -> Array:
+        return self.keyword_proj(keyword_probs)
+
+    def _embed(self, word, pos_offset, train, cond=None):
+        e = self.word_embedding(word)
+        e = self._drop(e, train) * math.sqrt(self.emb_dim)
+        if cond is not None:
+            e = self.word_keyword_norm(e + cond[:, None, :])
+        T = word.shape[-1]
+        if isinstance(pos_offset, int) and pos_offset == 0:
+            pe = self.pe[:T]
+        else:
+            pe = jax.lax.dynamic_slice_in_dim(self.pe, pos_offset, T, axis=0)
+        e = e + pe[None, :, :]
+        return self._drop(e, train).astype(self.compute_dtype)
