@@ -1,0 +1,59 @@
+"""Profiling / observability helpers (SURVEY.md section 5: the reference
+ships only an offline FLOPs harness; here profiling is first-class):
+
+  * ``trace`` context manager around jax.profiler for TensorBoard-viewable
+    device traces;
+  * ``StepTimer``: EMA step-time / clips-per-second meter for training
+    and serving loops;
+  * ``flops_estimate``: XLA cost analysis of a jitted function — the
+    TPU-native replacement for flops_counting_model.py (thop/ptflops).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """jax.profiler trace scope: view with TensorBoard's profile plugin."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+
+    def __init__(self, ema: float = 0.9):
+        self.ema = ema
+        self.avg: Optional[float] = None
+        self._t0: Optional[float] = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, items: int = 1) -> Dict[str, float]:
+        dt = time.perf_counter() - self._t0
+        self.avg = dt if self.avg is None else \
+            self.ema * self.avg + (1 - self.ema) * dt
+        return {"step_time_s": dt, "step_time_ema_s": self.avg,
+                "items_per_sec": items / max(dt, 1e-9)}
+
+
+def flops_estimate(fn: Callable, *args) -> Dict[str, float]:
+    """Estimate FLOPs / bytes of a jitted function via XLA cost analysis
+    (replaces the reference's torch FLOPs counters,
+    flops_counting_model.py:297-375)."""
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    analysis = compiled.cost_analysis()
+    if isinstance(analysis, list):
+        analysis = analysis[0]
+    return {"flops": float(analysis.get("flops", -1.0)),
+            "bytes_accessed": float(analysis.get("bytes accessed", -1.0))}
