@@ -121,15 +121,42 @@ def stepwise_decode(step_fn: StepFn,
                     method: str = "greedy",
                     temp: float = 1.0,
                     key: Optional[jax.Array] = None,
-                    collect_logits: bool = True) -> Dict[str, Array]:
+                    collect_logits: bool = True,
+                    unroll: int = 1) -> Dict[str, Array]:
     """Autoregressive decode with early exit when all rows finished.
 
     Returns {seq [B, L], sampled_logprob [B, L], logit [B, L, V]?}.
+
+    ``unroll > 1`` switches to a ``lax.scan`` over all L steps with the
+    given unroll factor: no early exit, but XLA fuses across steps,
+    which cuts the fixed per-step dispatch overhead that dominates
+    small-decoder throughput on TPU.
     """
     L = max_length if max_length is not None else special.max_length
     B = batch_size
     if key is None:
         key = jax.random.PRNGKey(0)
+
+    if unroll > 1:
+        def scan_body(carry, t):
+            word, finished, dyn, k = carry
+            logit, dyn = step_fn(word, t, dyn)
+            k, sub = jax.random.split(k)
+            new_word, samp_lp = sample_next_word(logit, method, temp, sub)
+            out_word = jnp.where(finished, jnp.int32(special.eos), new_word)
+            finished = finished | (new_word == special.eos)
+            ys = (out_word, samp_lp,
+                  logit if collect_logits else jnp.zeros((B, 0)))
+            return (out_word, finished, dyn, k), ys
+
+        carry = (jnp.full((B,), special.bos, jnp.int32),
+                 jnp.zeros((B,), bool), dyn_cache, key)
+        _, (seq, lps, logits) = jax.lax.scan(
+            scan_body, carry, jnp.arange(L), unroll=unroll)
+        out = {"seq": seq.T, "sampled_logprob": lps.T}
+        if collect_logits:
+            out["logit"] = jnp.transpose(logits, (1, 0, 2))
+        return out
 
     seq0 = jnp.full((B, L), special.eos, jnp.int32)
     lp0 = jnp.zeros((B, L), jnp.float32)

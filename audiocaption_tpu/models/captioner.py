@@ -189,7 +189,8 @@ def generate(model: Captioner,
              diversity_lambda: float = 0.5,
              group_nbest: bool = True,
              temporal_tag: Optional[Array] = None,
-             key: Optional[jax.Array] = None) -> Dict[str, Array]:
+             key: Optional[jax.Array] = None,
+             unroll: int = 1) -> Dict[str, Array]:
     """Batched caption generation (reference inference_forward,
     base.py:142-150, with the same defaults: greedy, max_length 20,
     beam_size 3 / dbs beam 6 groups 3)."""
@@ -262,6 +263,6 @@ def generate(model: Captioner,
         static, dyn = init_cache(enc, temporal_tag)
         out = stepwise_decode(make_step_fn(static), dyn, B, V, special,
                               max_length=L, method=sample_method, temp=temp,
-                              key=key, collect_logits=False)
+                              key=key, collect_logits=False, unroll=unroll)
     out.update(enc)
     return out

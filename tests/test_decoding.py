@@ -277,3 +277,14 @@ def test_gumbel_and_categorical_run():
         w, lp = sample_next_word(logit, method, 0.8, jax.random.PRNGKey(2))
         assert w.shape == (6,)
         assert np.all(np.asarray(w) >= 0) and np.all(np.asarray(w) < V)
+
+
+def test_unrolled_greedy_matches_while_loop():
+    bias = B_PER_SAMPLE
+    step_fn = make_jax_step(bias)
+    out_while = stepwise_decode(step_fn, {"h": jnp.zeros((4, D))}, 4, V,
+                                SPECIAL, method="greedy")
+    out_scan = stepwise_decode(step_fn, {"h": jnp.zeros((4, D))}, 4, V,
+                               SPECIAL, method="greedy", unroll=4)
+    np.testing.assert_array_equal(np.asarray(out_while["seq"]),
+                                  np.asarray(out_scan["seq"]))
