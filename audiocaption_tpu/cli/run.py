@@ -296,7 +296,8 @@ class Runner:
                                        val_loader, sample_method="greedy")
         key2refs = {k: v for k, v in key2refs.items() if k in key2pred}
         key2pred = {k: v for k, v in key2pred.items() if k in key2refs}
-        scorer = CiderD()
+        from audiocaption_tpu.native import FastCiderD
+        scorer = FastCiderD()
         score, _ = scorer.compute_score(ptb_tokenize(key2refs),
                                         ptb_tokenize(key2pred))
         return score

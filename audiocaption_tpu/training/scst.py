@@ -47,7 +47,9 @@ def compute_batch_score(seqs: np.ndarray, key2refs: Dict[str, List[str]],
                         bos: int, eos: int,
                         scorer: Optional[CiderD] = None) -> np.ndarray:
     """Per-sample CIDEr against references (model_util.py:117-164)."""
-    scorer = scorer or CiderD()
+    if scorer is None:
+        from audiocaption_tpu.native import FastCiderD
+        scorer = FastCiderD()   # C++ scorer; falls back to CiderD
     hyp = {}
     refs = {}
     for i, key in enumerate(keys):
