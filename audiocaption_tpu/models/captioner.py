@@ -266,3 +266,11 @@ def generate(model: Captioner,
                               key=key, collect_logits=False, unroll=unroll)
     out.update(enc)
     return out
+
+
+def sequence_embedding(output: Dict[str, Array], cap_len: Array) -> Array:
+    """Mean-pooled caption sequence embedding over valid positions
+    (CaptionSequenceModel, base.py:480-506): output["embed"] has length
+    cap_len - 1 valid steps per row."""
+    from audiocaption_tpu.ops.masking import mean_with_lens
+    return mean_with_lens(output["embed"], cap_len - 1)
