@@ -1,0 +1,108 @@
+"""Precompute encoder features (fc/attn embeddings) into HDF5
+(data/create_dataset/prepare_pretrained_features/{panns,effb0,clap}.py):
+
+    python -m audiocaption_tpu.cli.prepare_features \
+        --wav_csv data/x/waveform.csv --output_dir data/x/features \
+        --encoder cnn14 [--checkpoint Cnn14_mAP=0.431.pth] [--batch_size 16]
+
+Writes fc.h5, attn.h5 (+ attn length csv columns) consumable by
+feature-input models (generate(..., enc_override=...) and RnnEncoder /
+AudioTransformerEncoder over precomputed features).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--wav_csv", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--encoder", default="cnn14",
+                   choices=["cnn14", "cnn10", "cnn6", "effb2"])
+    p.add_argument("--checkpoint", default=None,
+                   help="torch checkpoint (PANNs / COLA / BLAT / HEAR)")
+    p.add_argument("--batch_size", type=int, default=16)
+    args = p.parse_args(argv)
+
+    import h5py
+    import jax
+    import jax.numpy as jnp
+    from audiocaption_tpu.data.collate import pad_sequences
+    from audiocaption_tpu.data.dataset import InferenceDataset
+    from audiocaption_tpu.models.cnn14 import Cnn14Encoder, convert_cnn14
+    from audiocaption_tpu.models.effb2 import EfficientNetB2, convert_effb2
+    from audiocaption_tpu.models.encoders_extra import (
+        Cnn6Encoder, Cnn10Encoder, convert_panns_small)
+    from audiocaption_tpu.ops.frontend import (
+        CNN14_MEL_32K, EFFB2_MEL_16K, LogMelFrontend)
+
+    if args.encoder == "effb2":
+        enc_def, mel = EfficientNetB2(), EFFB2_MEL_16K
+    elif args.encoder == "cnn14":
+        enc_def, mel = Cnn14Encoder(), CNN14_MEL_32K
+    elif args.encoder == "cnn10":
+        enc_def, mel = Cnn10Encoder(), CNN14_MEL_32K
+    else:
+        enc_def, mel = Cnn6Encoder(), CNN14_MEL_32K
+
+    frontend = LogMelFrontend(mel)
+    lms0 = jnp.zeros((1, 101, 64))
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = enc_def.init(jax.random.PRNGKey(0), lms0,
+                                 jnp.asarray([101]))
+    if args.checkpoint:
+        import torch
+        from audiocaption_tpu.models import convert as C
+        ckpt = torch.load(args.checkpoint, map_location="cpu",
+                          weights_only=False)
+        sd = C.state_dict_to_numpy(
+            ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt)
+        if args.encoder == "effb2":
+            params, stats = convert_effb2(sd)
+        elif args.encoder == "cnn14":
+            params, stats = convert_cnn14(sd)
+        else:
+            params, stats = convert_panns_small(sd)
+        variables = {"params": params, "batch_stats": stats}
+
+    @jax.jit
+    def encode(wav, wav_len):
+        lms = frontend(wav)
+        return enc_def.apply(variables, lms, mel.feat_len(wav_len))
+
+    ds = InferenceDataset({"wav": args.wav_csv})
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rows = []
+    with h5py.File(out_dir / "fc.h5", "w") as fc_h5, \
+            h5py.File(out_dir / "attn.h5", "w") as attn_h5:
+        for i in range(0, len(ds), args.batch_size):
+            items = [ds[j] for j in range(i, min(i + args.batch_size,
+                                                 len(ds)))]
+            wav, lens = pad_sequences([it["wav"] for it in items],
+                                      bucket=mel.sample_rate)
+            out = encode(jnp.asarray(wav), jnp.asarray(lens))
+            fc = np.asarray(out["fc_emb"])
+            attn = np.asarray(out["attn_emb"])
+            alens = np.asarray(out["attn_emb_len"])
+            for k, it in enumerate(items):
+                aid = it["audio_id"]
+                fc_h5[aid] = fc[k]
+                attn_h5[aid] = attn[k, :alens[k]]
+                rows.append((aid, str(out_dir / "fc.h5"),
+                             str(out_dir / "attn.h5")))
+    with open(out_dir / "features.csv", "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        w.writerow(["audio_id", "fc_hdf5", "attn_hdf5"])
+        w.writerows(rows)
+    print(f"wrote features for {len(rows)} clips to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

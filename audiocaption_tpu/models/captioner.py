@@ -190,14 +190,30 @@ def generate(model: Captioner,
              group_nbest: bool = True,
              temporal_tag: Optional[Array] = None,
              key: Optional[jax.Array] = None,
-             unroll: int = 1) -> Dict[str, Array]:
+             unroll: int = 1,
+             cond_kwargs: Optional[Dict[str, Array]] = None,
+             enc_override: Optional[Dict[str, Array]] = None
+             ) -> Dict[str, Array]:
     """Batched caption generation (reference inference_forward,
     base.py:142-150, with the same defaults: greedy, max_length 20,
-    beam_size 3 / dbs beam 6 groups 3)."""
+    beam_size 3 / dbs beam 6 groups 3).
+
+    ``cond_kwargs`` carries per-sample conditioning into the decoder's
+    init_cache — temporal_tag / condition / style / structure for the
+    BahAttn variants, event / keyword probabilities for the conditioned
+    transformer decoders.
+    """
     special = model.special
     L = max_length if max_length is not None else special.max_length
+    cond = dict(cond_kwargs or {})
+    if temporal_tag is not None:
+        cond["temporal_tag"] = temporal_tag
 
-    if lms is None:
+    if enc_override is not None:
+        # precomputed-feature input mode (the reference's attn/fc input
+        # contract, base.py:48-61): {attn_emb, attn_emb_len, fc_emb}
+        enc = enc_override
+    elif lms is None:
         enc = model.apply(variables, wav, wav_len, method=Captioner.encode)
     else:
         enc = model.apply(variables, lms, feat_len,
@@ -209,18 +225,15 @@ def generate(model: Captioner,
     V = decoder_def.vocab_size
     is_transformer = isinstance(decoder_def, TransformerDecoder)
 
-    def init_cache(enc_tree, tag):
+    def init_cache(enc_tree, cond_tree):
+        method = type(decoder_def).init_cache
         if is_transformer:
             return decoder_def.apply(
                 dec_vars, enc_tree["attn_emb"], enc_tree["attn_emb_len"], L,
-                method=TransformerDecoder.init_cache)
-        kwargs = {}
-        method = type(decoder_def).init_cache
-        if tag is not None:
-            kwargs["temporal_tag"] = tag
+                method=method, **cond_tree)
         return decoder_def.apply(
             dec_vars, enc_tree["attn_emb"], enc_tree["attn_emb_len"],
-            enc_tree["fc_emb"], L, method=method, **kwargs)
+            enc_tree["fc_emb"], L, method=method, **cond_tree)
 
     def make_step_fn(static):
         if is_transformer:
@@ -240,9 +253,7 @@ def generate(model: Captioner,
         K = beam_size if beam_size is not None else 3
         enc_k = expand_to_beams(
             {k: enc[k] for k in ("attn_emb", "attn_emb_len", "fc_emb")}, K)
-        tag = (expand_to_beams(temporal_tag, K)
-               if temporal_tag is not None else None)
-        static, dyn = init_cache(enc_k, tag)
+        static, dyn = init_cache(enc_k, expand_to_beams(cond, K))
         out = beam_search(make_step_fn(static), dyn, B, K, V, special,
                           max_length=L, temp=temp, n_best=n_best,
                           n_best_size=n_best_size)
@@ -252,15 +263,14 @@ def generate(model: Captioner,
         enc_k = expand_to_beams(
             {k: enc[k] for k in ("attn_emb", "attn_emb_len", "fc_emb")},
             group_size * bdash)
-        tag = (expand_to_beams(temporal_tag, group_size * bdash)
-               if temporal_tag is not None else None)
-        static, dyn = init_cache(enc_k, tag)
+        static, dyn = init_cache(enc_k,
+                                 expand_to_beams(cond, group_size * bdash))
         out = diverse_beam_search(
             make_step_fn(static), dyn, B, K, V, special,
             group_size=group_size, diversity_lambda=diversity_lambda,
             max_length=L, temp=temp, group_nbest=group_nbest)
     else:
-        static, dyn = init_cache(enc, temporal_tag)
+        static, dyn = init_cache(enc, cond)
         out = stepwise_decode(make_step_fn(static), dyn, B, V, special,
                               max_length=L, method=sample_method, temp=temp,
                               key=key, collect_logits=False, unroll=unroll)

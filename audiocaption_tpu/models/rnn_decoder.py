@@ -361,3 +361,48 @@ class SpecificityBahAttnDecoder(BahAttnCatFcDecoder):
         return (self.classifier(out).astype(jnp.float32),
                 {"state": jnp.transpose(new_state, (1, 0, 2)),
                  "attn_weight": attn_weight})
+
+
+class StructBahAttnDecoder(BahAttnCatFcDecoder):
+    """Structure-conditioned variant (rnn_decoder.py:340-398): the fc
+    slot carries a learned structure embedding."""
+    struct_vocab_size: int = 4
+
+    def setup(self):
+        super().setup()
+        self.struct_embedding = nn.Embed(
+            self.struct_vocab_size, self.emb_dim,
+            embedding_init=nn.initializers.xavier_uniform(),
+            name="struct_embedding")
+
+    def init_cache(self, attn_emb, attn_emb_len, fc_emb, max_length,
+                   structure=None):
+        static, dyn = super().init_cache(attn_emb, attn_emb_len, fc_emb,
+                                         max_length)
+        if structure is None:
+            structure = jnp.zeros((attn_emb.shape[0],), jnp.int32)
+        static["p_fc"] = self.struct_embedding(structure)
+        return static, dyn
+
+
+class BahAttnDecoder(BahAttnCatFcDecoder):
+    """Raw-context concat variant (rnn_decoder.py:468-517):
+    rnn_input = cat(word_emb, ctx_proj(ctx)) — no fc slot."""
+
+    def init_cache(self, attn_emb, attn_emb_len, fc_emb, max_length):
+        static, dyn = super().init_cache(attn_emb, attn_emb_len, fc_emb,
+                                         max_length)
+        static.pop("p_fc")
+        return static, dyn
+
+    def step(self, word_t, t, static, dyn, train=False):
+        embed = self._drop(self.word_embedding(word_t), train)
+        state = jnp.transpose(dyn["state"], (1, 0, 2))
+        query = jnp.transpose(state, (1, 0, 2)).reshape(state.shape[1], -1)
+        ctx, attn_weight = self.attn(query, static["attn_emb"],
+                                     static["attn_emb_len"])
+        rnn_input = jnp.concatenate([embed, self.ctx_proj(ctx)], axis=-1)
+        out, new_state = self.model(rnn_input, state)
+        return (self.classifier(out).astype(jnp.float32),
+                {"state": jnp.transpose(new_state, (1, 0, 2)),
+                 "attn_weight": attn_weight})
