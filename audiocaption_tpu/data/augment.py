@@ -94,3 +94,31 @@ def build_transforms(specs: Optional[List[Dict]]) -> List[Callable]:
         name = spec["type"].split(".")[-1]
         out.append(_REGISTRY[name](**(spec.get("args", {}) or {})))
     return out
+
+
+def time_warp(max_shift: int = 5) -> Callable:
+    """SpecAugment time warping on a spectrogram [T, F]: a random anchor
+    in the middle is shifted by up to max_shift frames, with the time
+    axis piecewise-linearly resampled (host-side counterpart of the
+    reference's sparse-image-warp time_warp, nb_SparseImageWarp.py)."""
+    def tf(spec: np.ndarray) -> np.ndarray:
+        T = spec.shape[0]
+        if T < 2 * max_shift + 2:
+            return spec
+        anchor = random.randint(max_shift + 1, T - max_shift - 1)
+        shift = random.randint(-max_shift, max_shift)
+        if shift == 0:
+            return spec
+        # piecewise-linear remap of source coords: 0->0, anchor+shift->
+        # anchor, T-1->T-1
+        dst = np.arange(T, dtype=np.float64)
+        src = np.interp(dst, [0, anchor + shift, T - 1],
+                        [0, anchor, T - 1])
+        lo = np.floor(src).astype(int)
+        hi = np.minimum(lo + 1, T - 1)
+        frac = (src - lo)[:, None]
+        return ((1 - frac) * spec[lo] + frac * spec[hi]).astype(spec.dtype)
+    return tf
+
+
+_REGISTRY["time_warp"] = time_warp

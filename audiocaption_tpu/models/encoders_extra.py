@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from audiocaption_tpu.models import convert
 from audiocaption_tpu.models.layers import (
     BatchNorm, Conv2dSame, ConvBlock, GRU, LayerNorm, MultiheadAttention,
-    pool_2d, torch_linear_init)
+    avg_pool, pool_2d, torch_linear_init)
 from audiocaption_tpu.ops.masking import (
     length_mask, max_with_lens, mean_with_lens)
 
@@ -250,3 +250,116 @@ def convert_panns_small(sd, prefix: str = "", n_blocks: int = 4):
     if k("fc1.weight") in sd:
         params["fc1"] = convert.linear(sd, k("fc1"))
     return params, stats
+
+
+class InvertedResidual(nn.Module):
+    """PANNs-flavor MobileNetV2 block (cnn_encoder.py:467-517): depthwise
+    conv stride 1 followed by AvgPool(stride) (PANNs replaces strided
+    convs with pooling), ReLU6 activations."""
+    inp: int
+    oup: int
+    stride: int
+    expand_ratio: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        cd = self.compute_dtype
+        hidden = round(self.inp * self.expand_ratio)
+        relu6 = lambda v: jnp.minimum(nn.relu(v), 6.0)
+        h = x
+        if self.expand_ratio != 1:
+            h = Conv2dSame(hidden, (1, 1), padding=0, compute_dtype=cd,
+                           name="expand")(h)
+            h = relu6(BatchNorm(compute_dtype=cd, name="bn_expand")(
+                h, train=train))
+        h = Conv2dSame(hidden, (3, 3), padding=1, groups=hidden,
+                       compute_dtype=cd, name="depthwise")(h)
+        if self.stride > 1:
+            h = avg_pool(h, (self.stride, self.stride))
+        h = relu6(BatchNorm(compute_dtype=cd, name="bn_dw")(h, train=train))
+        h = Conv2dSame(self.oup, (1, 1), padding=0, compute_dtype=cd,
+                       name="project")(h)
+        h = BatchNorm(compute_dtype=cd, name="bn_proj")(h, train=train)
+        if self.stride == 1 and self.inp == self.oup:
+            h = h + x
+        return h
+
+
+class MobileNetV2Encoder(nn.Module):
+    """PANNs MobileNetV2 waveform encoder (cnn_encoder.py:520-656):
+    downsample 32, head 1280 -> masked max+mean -> fc1 1024."""
+    compute_dtype: Any = jnp.float32
+    downsample_ratio: int = 32
+    fc_emb_size: int = 1024
+
+    @nn.compact
+    def __call__(self, lms: Array, feat_len: Array,
+                 train: bool = False) -> Dict[str, Array]:
+        cd = self.compute_dtype
+        relu6 = lambda v: jnp.minimum(nn.relu(v), 6.0)
+        drop = lambda v, p: (nn.Dropout(p, deterministic=False)(v)
+                             if train else v)
+        x = BatchNorm(compute_dtype=jnp.float32, name="bn0")(lms,
+                                                             train=train)
+        x = x[..., None].astype(cd)
+        # stem: conv3x3 + AvgPool(2) + BN + ReLU6
+        x = Conv2dSame(32, (3, 3), padding=1, compute_dtype=cd,
+                       name="stem")(x)
+        x = avg_pool(x, (2, 2))
+        x = relu6(BatchNorm(compute_dtype=cd, name="bn_stem")(x,
+                                                              train=train))
+        settings = [  # t, c, n, s
+            (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+            (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+        inp = 32
+        idx = 0
+        for t, c, n, s in settings:
+            for i in range(n):
+                x = InvertedResidual(inp, c, s if i == 0 else 1, t,
+                                     compute_dtype=cd,
+                                     name=f"block{idx}")(x, train=train)
+                inp = c
+                idx += 1
+        x = Conv2dSame(1280, (1, 1), padding=0, compute_dtype=cd,
+                       name="head")(x)
+        x = relu6(BatchNorm(compute_dtype=cd, name="bn_head")(x,
+                                                              train=train))
+        x = jnp.mean(x, axis=2)
+        attn_emb = x.astype(jnp.float32)
+        out_len = feat_len // self.downsample_ratio
+        pooled = max_with_lens(attn_emb, out_len) + \
+            mean_with_lens(attn_emb, out_len)
+        pooled = drop(pooled, 0.5)
+        fc = nn.relu(nn.Dense(self.fc_emb_size,
+                              kernel_init=torch_linear_init, dtype=cd,
+                              param_dtype=jnp.float32,
+                              name="fc1")(pooled.astype(cd)))
+        return {"fc_emb": drop(fc.astype(jnp.float32), 0.5),
+                "attn_emb": attn_emb, "attn_emb_len": out_len}
+
+
+class Cnn14TransformerEncoder(nn.Module):
+    """Cnn14 -> audio TransformerEncoder composition
+    (crnn_trm_encoder.py:214-246)."""
+    d_model: int = 512
+    nlayers: int = 2
+    dropout: float = 0.2
+    freeze_cnn: bool = False
+    freeze_cnn_bn: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, lms: Array, feat_len: Array,
+                 train: bool = False) -> Dict[str, Array]:
+        from audiocaption_tpu.models.cnn14 import Cnn14Encoder
+        cnn_train = train and not self.freeze_cnn_bn
+        cnn_out = Cnn14Encoder(compute_dtype=self.compute_dtype,
+                               name="cnn")(lms, feat_len, train=cnn_train)
+        attn = cnn_out["attn_emb"]
+        if self.freeze_cnn:
+            attn = jax.lax.stop_gradient(attn)
+        return AudioTransformerEncoder(
+            d_model=self.d_model, nlayers=self.nlayers,
+            dropout=self.dropout, name="trm")(
+            attn, cnn_out["attn_emb_len"], train=train)

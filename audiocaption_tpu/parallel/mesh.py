@@ -57,3 +57,18 @@ def host_local_batch_to_global(batch: Any, mesh: Mesh,
         return jax.make_array_from_process_local_data(
             NamedSharding(mesh, spec), x)
     return jax.tree_util.tree_map(put, batch)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host rendezvous: jax.distributed.initialize (replaces the
+    reference's SLURM env parsing + torch file:// rendezvous,
+    run_ddp.py:33-42).  With no arguments JAX auto-detects the TPU pod
+    environment."""
+    import jax
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)

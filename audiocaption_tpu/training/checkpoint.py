@@ -90,3 +90,17 @@ class MetricImprover:
     def load_state_dict(self, state: Dict):
         self.mode = state["mode"]
         self.best = state["best"]
+
+
+def strip_optimizer(ckpt_path: str, out_path: str = None) -> str:
+    """Drop the optimizer state from a checkpoint
+    (python_scripts/utils/remove_optimizer.py)."""
+    ckpt = load_checkpoint(ckpt_path)
+    ckpt.pop("optimizer", None)
+    out_path = out_path or ckpt_path
+    import pickle
+    from pathlib import Path
+    Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+    with open(out_path, "wb") as f:
+        pickle.dump(ckpt, f, protocol=4)
+    return out_path

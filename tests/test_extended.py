@@ -161,3 +161,19 @@ def test_mse_kd_head():
     t = jnp.asarray(np.random.RandomState(2).randn(4, 24), jnp.float32)
     params = head.init(jax.random.PRNGKey(0), s, t)
     assert np.isfinite(float(head.apply(params, s, t)))
+
+
+def test_time_warp():
+    from audiocaption_tpu.data.augment import time_warp
+    spec = np.random.RandomState(0).randn(100, 64).astype(np.float32)
+    out = time_warp(5)(spec)
+    assert out.shape == spec.shape
+    # boundary frames are fixed points of the warp
+    np.testing.assert_allclose(out[0], spec[0], atol=1e-6)
+    np.testing.assert_allclose(out[-1], spec[-1], atol=1e-6)
+
+
+def test_mobilenet_v2_and_cnn14trm_registered():
+    from audiocaption_tpu.models.encoders_extra import (
+        MobileNetV2Encoder, Cnn14TransformerEncoder)
+    assert MobileNetV2Encoder.downsample_ratio == 32
