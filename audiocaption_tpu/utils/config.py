@@ -133,6 +133,36 @@ def build_model_from_config(model_cfg: Dict,
         enc_out_dim = 1408
         if enc_cfg.get("pretrained"):
             pretrained.append(("encoder", enc_cfg["pretrained"], "effb2"))
+    elif enc_type in ("Cnn6Encoder", "Cnn10Encoder", "MobileNetV2",
+                      "MobileNetV2Encoder", "Cdur5Encoder",
+                      "Cnn14TransformerEncoder"):
+        from audiocaption_tpu.models.encoders_extra import (
+            Cdur5Encoder, Cnn6Encoder, Cnn10Encoder,
+            Cnn14TransformerEncoder, MobileNetV2Encoder)
+        sample_rate = enc_args.get("sample_rate", 32000)
+        mel = CNN14_MEL_32K if sample_rate == 32000 else CNN14_MEL_16K
+        if enc_type == "Cnn6Encoder":
+            encoder, enc_out_dim = Cnn6Encoder(), 512
+        elif enc_type == "Cnn10Encoder":
+            encoder, enc_out_dim = Cnn10Encoder(), 512
+        elif enc_type in ("MobileNetV2", "MobileNetV2Encoder"):
+            encoder, enc_out_dim = MobileNetV2Encoder(), 1280
+        elif enc_type == "Cdur5Encoder":
+            encoder, enc_out_dim = Cdur5Encoder(), 256
+        else:
+            trm_cfg = enc_cfg.get("transformer", {}).get("args", {}) or {}
+            d_model = trm_cfg.get("d_model", 512)
+            encoder = Cnn14TransformerEncoder(
+                d_model=d_model,
+                nlayers=trm_cfg.get("nlayers", 2),
+                freeze_cnn=enc_args.get("freeze_cnn", False),
+                freeze_cnn_bn=enc_args.get("freeze_cnn_bn", False),
+                compute_dtype=compute_dtype)
+            enc_out_dim = d_model
+            cnn_cfg = enc_cfg.get("cnn", {})
+            if cnn_cfg.get("pretrained"):
+                pretrained.append(("encoder/cnn", cnn_cfg["pretrained"],
+                                   "cnn14"))
     else:
         raise ValueError(f"unsupported encoder type: {enc_type}")
 
@@ -143,8 +173,17 @@ def build_model_from_config(model_cfg: Dict,
     if vocab is None:
         raise ValueError("vocab_size required (config or tokenizer)")
 
-    if dec_type == "TransformerDecoder":
-        decoder = TransformerDecoder(
+    if dec_type in ("TransformerDecoder", "EventTransformerDecoder",
+                    "KeywordProbTransformerDecoder"):
+        from audiocaption_tpu.models import transformer_decoder as TD
+        cls = getattr(TD, dec_type)
+        extra = {}
+        if dec_type == "EventTransformerDecoder":
+            extra["event_classes"] = dec_args.get("event_classes", 527)
+        if dec_type == "KeywordProbTransformerDecoder":
+            extra["keyword_classes_num"] = dec_args.get(
+                "keyword_classes_num", 527)
+        decoder = cls(
             emb_dim=dec_args.get("emb_dim", 256),
             vocab_size=vocab,
             attn_emb_dim=dec_args.get("attn_emb_dim", enc_out_dim),
@@ -154,10 +193,14 @@ def build_model_from_config(model_cfg: Dict,
             nhead=dec_args.get("nhead"),
             dim_feedforward=dec_args.get("dim_feedforward"),
             tie_weights=dec_args.get("tie_weights", False),
-            compute_dtype=compute_dtype)
-    elif dec_type in ("BahAttnCatFcDecoder", "TemporalBahAttnDecoder"):
-        cls = (TemporalBahAttnDecoder if dec_type == "TemporalBahAttnDecoder"
-               else BahAttnCatFcDecoder)
+            compute_dtype=compute_dtype, **extra)
+    elif dec_type in ("BahAttnCatFcDecoder", "TemporalBahAttnDecoder",
+                      "BahAttnAddFcDecoder", "BahAttnDecoder",
+                      "ConditionalBahAttnDecoder", "StyleBahAttnDecoder",
+                      "SpecificityBahAttnDecoder", "StructBahAttnDecoder",
+                      "RnnFcDecoder"):
+        from audiocaption_tpu.models import rnn_decoder as RD
+        cls = getattr(RD, dec_type)
         decoder = cls(
             emb_dim=dec_args.get("emb_dim", 512),
             vocab_size=vocab,

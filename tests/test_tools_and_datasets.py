@@ -118,3 +118,44 @@ def test_step_timer():
 def test_flops_estimate():
     out = flops_estimate(lambda x: x @ x, jnp.ones((64, 64)))
     assert out["flops"] >= 2 * 64 ** 3 * 0.9
+
+
+def test_prepare_clotho_text_artifacts(tmp_path):
+    import csv as _csv
+    cap_csv = tmp_path / "caps.csv"
+    with open(cap_csv, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["file_name"] +
+                            [f"caption_{i}" for i in range(1, 6)])
+        w.writeheader()
+        w.writerow({"file_name": "x.wav",
+                    "caption_1": "A dog barks.",
+                    "caption_2": "Dogs are barking",
+                    "caption_3": "", "caption_4": "", "caption_5": ""})
+    from audiocaption_tpu.cli.prepare_dataset import prepare_clotho
+    prepare_clotho(str(tmp_path), str(cap_csv), str(tmp_path / "out"),
+                   pack=False)
+    data = json.loads((tmp_path / "out" / "text.json").read_text())
+    assert len(data["audios"]) == 1
+    caps = data["audios"][0]["captions"]
+    assert len(caps) == 2
+    assert caps[0]["tokens"] == "a dog barks"
+    assert (tmp_path / "out" / "vocab.pkl").exists()
+
+
+def test_prepare_audiocaps_text_artifacts(tmp_path):
+    import csv as _csv
+    cap_csv = tmp_path / "caps.csv"
+    with open(cap_csv, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["audiocap_id", "youtube_id",
+                                           "start_time", "caption"])
+        w.writeheader()
+        w.writerow({"audiocap_id": "1", "youtube_id": "abc",
+                    "start_time": "0", "caption": "Water flows."})
+        w.writerow({"audiocap_id": "2", "youtube_id": "abc",
+                    "start_time": "0", "caption": "A stream runs"})
+    from audiocaption_tpu.cli.prepare_dataset import prepare_audiocaps
+    prepare_audiocaps(str(tmp_path), str(cap_csv), str(tmp_path / "out"),
+                      pack=False)
+    data = json.loads((tmp_path / "out" / "text.json").read_text())
+    assert data["audios"][0]["audio_id"] == "Yabc"
+    assert len(data["audios"][0]["captions"]) == 2
