@@ -124,3 +124,26 @@ def test_word_embedding_pca_and_install(tmp_path):
     assert params["word_embedding"]["embedding"].shape == (40, 16)
     with pytest.raises(ValueError):
         load_word_embedding(str(path), 5, 16)
+
+
+def test_filter_pruning_rankings():
+    from audiocaption_tpu.utils.pruning import (
+        select_filters, prune_conv_params, prune_bn_params,
+        l1_ranking, geometric_median_ranking, operator_norm_ranking)
+    rng = np.random.RandomState(0)
+    kernel = rng.randn(3, 3, 4, 8).astype(np.float32)
+    kernel[..., 0] *= 10  # filter 0 clearly strongest
+    for method in ("operator_norm", "iclr_l1", "iclr_gm"):
+        keep = select_filters(kernel, prune_ratio=0.5, method=method)
+        assert len(keep) == 4
+        assert (np.diff(keep) > 0).all()
+    keep = select_filters(kernel, 0.5, "iclr_l1")
+    assert 0 in keep
+    nxt = {"kernel": rng.randn(3, 3, 8, 16).astype(np.float32)}
+    pruned, nxt_p = prune_conv_params({"kernel": kernel}, keep, nxt)
+    assert pruned["kernel"].shape == (3, 3, 4, 4)
+    assert nxt_p["kernel"].shape == (3, 3, 4, 16)
+    bn_p, bn_s = prune_bn_params(
+        {"scale": np.ones(8), "bias": np.zeros(8)},
+        {"mean": np.zeros(8), "var": np.ones(8)}, keep)
+    assert bn_p["scale"].shape == (4,)
