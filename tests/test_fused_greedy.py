@@ -1,0 +1,129 @@
+"""Fused greedy-decode kernel: weight-packing math and interpret-mode
+token parity vs the XLA decoding engine.  (TPU-compiled parity is
+checked in the bench path: 0/1280 token mismatches at B=64, V=4981.)"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+@pytest.fixture()
+def interp(monkeypatch):
+    import audiocaption_tpu.decoding.fused_greedy as FG
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(FG.pl, "pallas_call", patched)
+    FG._fused_decode_call._clear_cache()
+    yield FG
+    FG._fused_decode_call._clear_cache()
+
+
+def _small_model():
+    from audiocaption_tpu.models.zoo import effb2_trm
+    model = effb2_trm(vocab_size=60)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16000)), jnp.asarray([16000]),
+        jnp.ones((1, 4), jnp.int32), jnp.asarray([4]), train=False)
+    # jitter so the greedy trajectory is model-dependent
+    import jax.tree_util as tu
+    rng = np.random.RandomState(11)
+    p = jax.device_get(variables["params"])
+    p["decoder"] = tu.tree_map(
+        lambda x: np.asarray(x) +
+        rng.randn(*np.shape(x)).astype(np.float32) * 0.3, p["decoder"])
+    return model, {"params": p, "batch_stats": variables["batch_stats"]}
+
+
+def test_packed_weights_one_step_logits():
+    """Packed/padded weights reproduce the decoder step logits exactly."""
+    import math
+    from audiocaption_tpu.decoding.fused_greedy import (
+        HPAD, pack_decoder_weights)
+    from audiocaption_tpu.models.captioner import Captioner
+    from audiocaption_tpu.models.transformer_decoder import (
+        TransformerDecoder)
+    model, variables = _small_model()
+    dec = model.decoder
+    dec_vars = {"params": variables["params"]["decoder"]}
+    wav = jnp.asarray(np.random.RandomState(0).randn(2, 16000),
+                      jnp.float32)
+    lens = jnp.asarray([16000, 9000])
+    enc = model.apply(variables, wav, lens, method=Captioner.encode)
+    static, dyn = dec.apply(dec_vars, enc["attn_emb"],
+                            enc["attn_emb_len"], 8,
+                            method=TransformerDecoder.init_cache)
+    word = jnp.ones((2,), jnp.int32)
+    ref_logit, _ = dec.apply(dec_vars, word, jnp.int32(0), static, dyn,
+                             method=TransformerDecoder.step)
+
+    packed = pack_decoder_weights(
+        dec, jax.device_get(variables["params"]["decoder"]))
+    H, dh, E = dec._nhead, dec.emb_dim // dec._nhead, dec.emb_dim
+
+    def pad_heads(m):
+        m = jnp.transpose(m, (1, 0, 2))
+        return jnp.concatenate(
+            [jnp.pad(m[:, :, h * dh:(h + 1) * dh],
+                     ((0, 0), (0, 0), (0, HPAD - dh))) for h in range(H)],
+            axis=-1)
+
+    def mha(q, K, V, valid):
+        ctxs = []
+        for h in range(H):
+            sl = slice(h * HPAD, (h + 1) * HPAD)
+            s = jnp.sum(q[None, :, sl] * K[:, :, sl], -1)
+            s = jnp.where(valid, s, -1e30)
+            a = jax.nn.softmax(s, axis=0)
+            ctxs.append(jnp.sum(a[:, :, None] * V[:, :, sl], 0))
+        return jnp.concatenate(ctxs, -1)
+
+    def ln(x, p):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p[0:1] + p[1:2]
+
+    pk = {k: jnp.asarray(v) for k, v in packed.items()}
+    memk = [pad_heads(static[f"mem_k{i}"].astype(jnp.float32))
+            for i in range(dec.nlayers)]
+    memv = [pad_heads(static[f"mem_v{i}"].astype(jnp.float32))
+            for i in range(dec.nlayers)]
+    mem_valid = jnp.transpose(~static["mem_kpm"], (1, 0))
+
+    onehot = jax.nn.one_hot(word, pk["emb_in"].shape[0])
+    x = onehot @ pk["emb_in"] * math.sqrt(E) + pk["pe"][0:1]
+    for i in range(dec.nlayers):
+        g = lambda k: pk[f"l{i}_{k}"]
+        q = x @ g("wq") + g("bq")
+        k = x @ g("wk") + g("bk")
+        v = x @ g("wv") + g("bv")
+        ctx = mha(q, k[None], v[None], jnp.ones((1, 2), bool))
+        x = ln(x + ctx @ g("wo") + g("bo"), g("ln1"))
+        xq = x @ g("xwq") + g("xbq")
+        ca = mha(xq, memk[i], memv[i], mem_valid) @ g("xwo") + g("xbo")
+        x = ln(x + ca, g("ln2"))
+        h = jnp.maximum(x @ g("w1") + g("b1"), 0)
+        x = ln(x + h @ g("w2") + g("b2"), g("ln3"))
+    logits = np.asarray(x @ pk["emb_out"])[:, :dec.vocab_size]
+    np.testing.assert_allclose(logits, np.asarray(ref_logit), atol=2e-5)
+
+
+def test_fused_kernel_interpret_token_parity(interp):
+    from audiocaption_tpu.models.captioner import generate
+    model, variables = _small_model()
+    wav = jnp.asarray(np.random.RandomState(0).randn(3, 16000),
+                      jnp.float32)
+    lens = jnp.asarray([16000, 9000, 12000])
+    ref = np.asarray(generate(model, variables, wav, lens,
+                              sample_method="greedy", max_length=10)["seq"])
+    fd = interp.FusedGreedyDecoder(model, variables, max_length=10)
+    got = np.asarray(fd(wav, lens))
+    np.testing.assert_array_equal(got, ref)
