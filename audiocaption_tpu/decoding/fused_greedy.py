@@ -361,6 +361,15 @@ class FusedGreedyDecoder:
                                       memk, memv, mem_valid)
 
         self._run = run
+        # mem K/V live fully in VMEM: cap the kernel batch (B=128 with
+        # S<=32 fits the ~100MB scoped VMEM; B=256 does not)
+        self.max_kernel_batch = 128
 
     def __call__(self, wav, wav_len) -> jnp.ndarray:
-        return self._run(wav, wav_len)
+        B = wav.shape[0]
+        mb = self.max_kernel_batch
+        if B <= mb:
+            return self._run(wav, wav_len)
+        outs = [self._run(wav[i:i + mb], wav_len[i:i + mb])
+                for i in range(0, B, mb)]
+        return jnp.concatenate(outs, axis=0)

@@ -100,6 +100,22 @@ def main():
             print(f"B={B} failed: {type(e).__name__}", file=sys.stderr)
             break
 
+    # fused-greedy kernel path (whole decode loop in one Pallas kernel)
+    try:
+        from audiocaption_tpu.decoding.fused_greedy import FusedGreedyDecoder
+        fd = FusedGreedyDecoder(model, variables, max_length=20)
+        for B in (128, 256):
+            args = make_batch(B)
+            dt = _bench_fn(lambda w, l: fd(w, l), args)
+            cps = B / dt
+            print(f"fused-greedy B={B}: {dt * 1e3:.1f} ms/batch, "
+                  f"{cps:.1f} clips/s", file=sys.stderr)
+            if cps > best:
+                best, best_cfg = cps, f"fused_greedy_b{B}"
+    except Exception as e:
+        print(f"fused greedy failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # diagnostics
     try:
         args = make_batch(64)
@@ -119,7 +135,8 @@ def main():
         "value": round(best, 2),
         "unit": "clips/s",
         "vs_baseline": None,
-        "workload": "batched 10s 16kHz clips, EffB2+Trm beam3 len20, bf16",
+        "workload": "batched 10s 16kHz clips, EffB2+Trm len20 bf16 "
+                    "(best of XLA beam-3 and fused-greedy-kernel)",
         "config": best_cfg,
         "device": str(jax.devices()[0]),
     }))
