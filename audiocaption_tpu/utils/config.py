@@ -133,6 +133,14 @@ def build_model_from_config(model_cfg: Dict,
         enc_out_dim = 1408
         if enc_cfg.get("pretrained"):
             pretrained.append(("encoder", enc_cfg["pretrained"], "effb2"))
+    elif enc_type == "Htsat":
+        from audiocaption_tpu.models.htsat import HtsatEncoder
+        sample_rate = enc_args.get("sample_rate", 32000)
+        mel = CNN14_MEL_32K if sample_rate == 32000 else CNN14_MEL_16K
+        encoder = HtsatEncoder()
+        enc_out_dim = encoder.fc_emb_size
+        if enc_cfg.get("pretrained"):
+            pretrained.append(("encoder", enc_cfg["pretrained"], "htsat"))
     elif enc_type in ("Cnn6Encoder", "Cnn10Encoder", "MobileNetV2",
                       "MobileNetV2Encoder", "Cdur5Encoder",
                       "Cnn14TransformerEncoder"):
