@@ -263,6 +263,9 @@ def load_pretrained_into(variables: Dict, spec: Tuple[str, str, str]
         params, stats = convert_cnn14(sd)
     elif kind == "effb2":
         params, stats = convert_effb2(sd)
+    elif kind == "htsat":
+        from audiocaption_tpu.models.htsat import convert_htsat
+        params, stats = convert_htsat(sd)
     elif kind == "decoder":
         if next(iter(sd)).startswith("decoder."):
             sd = {k[len("decoder."):]: v for k, v in sd.items()
