@@ -120,18 +120,28 @@ class Effb2TrmCaptioningModel:
             "params": {"encoder": enc_p, "decoder": dec_p},
             "batch_stats": {"encoder": enc_s},
         }
+        self._decode = {}   # drop decoders bound to the old weights
 
     def _decode_fn(self, kwargs_key):
         if kwargs_key not in self._decode:
             sample_method, beam_size, max_length, temp = kwargs_key
-
-            @jax.jit
-            def fn(variables, wav, wav_len):
-                return generate(self.model, variables, wav, wav_len,
-                                sample_method=sample_method,
-                                beam_size=beam_size, max_length=max_length,
-                                temp=temp)["seq"]
-            self._decode[kwargs_key] = fn
+            if sample_method == "greedy" and \
+                    jax.devices()[0].platform != "cpu":
+                # serve greedy through the fused whole-loop kernel
+                from audiocaption_tpu.decoding.fused_greedy import (
+                    FusedGreedyDecoder)
+                fd = FusedGreedyDecoder(self.model, self.variables,
+                                        max_length=max_length)
+                self._decode[kwargs_key] = lambda v, w, wl: fd(w, wl)
+            else:
+                @jax.jit
+                def fn(variables, wav, wav_len):
+                    return generate(self.model, variables, wav, wav_len,
+                                    sample_method=sample_method,
+                                    beam_size=beam_size,
+                                    max_length=max_length,
+                                    temp=temp)["seq"]
+                self._decode[kwargs_key] = fn
         return self._decode[kwargs_key]
 
     def __call__(self, audio, audio_length,
