@@ -179,3 +179,25 @@ class CaptionDataset(InferenceDataset):
         item = dict(self.items[index])
         item["wav"] = self.get_audio(item["audio_id"])
         return item
+
+
+class WavCaptionDataset(CaptionDataset):
+    """CaptionDataset variant reading wav files directly from disk
+    instead of HDF5 (captioning/datasets/caption_wav_read_dataset.py):
+    wav.csv maps audio_id -> file_name."""
+
+    def _load(self, audio_id: str) -> np.ndarray:
+        from audiocaption_tpu.cli.inference import read_wav
+        sr, wav = read_wav(self.aid_to_h5[audio_id])
+        if self.target_sr and sr != self.target_sr:
+            wav = resample(wav, sr, self.target_sr)
+        return wav
+
+    def __getitem__(self, index: int) -> Dict:
+        item = dict(self.items[index])
+        wav = self._load(item["audio_id"])
+        wav = self._crop_or_pad(wav)
+        for tf in self.transforms:
+            wav = tf(wav)
+        item["wav"] = np.asarray(wav, np.float32)
+        return item

@@ -170,3 +170,23 @@ def test_resample_identity():
     assert resample(x, 16000, 16000) is x
     y = resample(x, 16000, 32000)
     assert abs(len(y) - 2000) <= 2
+
+
+def test_wav_caption_dataset(tmp_path):
+    from scipy.io import wavfile
+    from audiocaption_tpu.data.dataset import WavCaptionDataset
+    rng = np.random.RandomState(0)
+    wav = (rng.randn(8000) * 0.1).astype(np.float32)
+    wavfile.write(tmp_path / "a.wav", 8000, wav)
+    (tmp_path / "wav.csv").write_text(
+        f"audio_id\tfile_name\naud1\t{tmp_path / 'a.wav'}\n")
+    (tmp_path / "text.json").write_text(json.dumps({"audios": [
+        {"audio_id": "aud1",
+         "captions": [{"tokens": "a b", "cap_id": "1"}]}]}))
+    ds = WavCaptionDataset({"wav": str(tmp_path / "wav.csv")},
+                           caption=str(tmp_path / "text.json"),
+                           orig_sr=8000, target_sr=16000)
+    item = ds[0]
+    assert abs(len(item["wav"]) - 16000) <= 2
+    np.testing.assert_allclose(item["wav"][:10], wav[:10].repeat(2)[:10],
+                               atol=0.2)  # rough resample sanity
