@@ -196,10 +196,15 @@ class LogMelFrontend:
     The basis matrices are baked as constants (closed over at trace
     time), so under jit the whole frontend is two MXU matmuls + one
     elementwise block, fused by XLA.
+
+    ``compute_dtype`` selects the DFT conv input precision (measured
+    neutral on the current XLA version — the conv is bandwidth-bound —
+    but kept as a knob for other compiler versions).
     """
 
-    def __init__(self, config: MelConfig):
+    def __init__(self, config: MelConfig, compute_dtype=jnp.float32):
         self.config = config
+        self.compute_dtype = compute_dtype
         window = hann_window(config.n_fft)
         self._basis = _dft_basis(config.n_fft, window)          # [n_fft, 2F]
         self._mel_fb = mel_filterbank(
@@ -221,14 +226,15 @@ class LogMelFrontend:
         [B, T_frames, n_fft] frame tensor in HBM that an explicit
         gather + matmul would create.
         """
-        wav = wav.astype(jnp.float32)
+        cd = self.compute_dtype
+        wav = wav.astype(cd)
         pad = self.config.n_fft // 2
         wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
         n_freqs = self.config.n_fft // 2 + 1
         # [B, T, 1] (NWC) * filters [n_fft, 1, 2F] (WIO), stride hop
         proj = jax.lax.conv_general_dilated(
             wav[..., None],
-            jnp.asarray(self._basis)[:, None, :],
+            jnp.asarray(self._basis).astype(cd)[:, None, :],
             window_strides=(self.config.hop,),
             padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
