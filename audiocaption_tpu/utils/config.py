@@ -133,6 +133,15 @@ def build_model_from_config(model_cfg: Dict,
         enc_out_dim = 1408
         if enc_cfg.get("pretrained"):
             pretrained.append(("encoder", enc_cfg["pretrained"], "effb2"))
+    elif enc_type in ("MobileNetV3", "MobileNetV3Encoder"):
+        from audiocaption_tpu.models.mobilenet_v3 import MobileNetV3Encoder
+        sample_rate = enc_args.get("sample_rate", 32000)
+        mel = CNN14_MEL_32K if sample_rate == 32000 else CNN14_MEL_16K
+        encoder = MobileNetV3Encoder(
+            model_name=enc_args.get("model_name", "mn10"),
+            pooling=enc_args.get("pooling", "mean_max_fc"),
+            compute_dtype=compute_dtype)
+        enc_out_dim = encoder.last_channels
     elif enc_type == "Htsat":
         from audiocaption_tpu.models.htsat import HtsatEncoder
         sample_rate = enc_args.get("sample_rate", 32000)

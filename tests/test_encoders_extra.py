@@ -113,3 +113,23 @@ def test_decoder_variants_decode(cls, kwargs):
     s = np.asarray(seq)
     assert s.shape == (2, SPECIAL.max_length)
     assert (s >= 0).all() and (s < 19).all()
+
+
+@pytest.mark.parametrize("name,pooling", [("mn04", "mean_max_fc"),
+                                          ("mn10", "mean")])
+def test_mobilenet_v3_encoder(name, pooling):
+    from audiocaption_tpu.models.mobilenet_v3 import MobileNetV3Encoder
+    enc = MobileNetV3Encoder(model_name=name, pooling=pooling)
+    lms = jnp.zeros((2, 101, 64))
+    fl = jnp.asarray([101, 50])
+    v = enc.init(jax.random.PRNGKey(0), lms, fl)
+    out = enc.apply(v, lms, fl)
+    assert out["fc_emb"].shape == (2, enc.fc_emb_size)
+    np.testing.assert_array_equal(np.asarray(out["attn_emb_len"]), [3, 1])
+
+
+def test_mobilenet_v3_width_mapping():
+    from audiocaption_tpu.models.mobilenet_v3 import (
+        NAME_TO_WIDTH, make_divisible)
+    assert NAME_TO_WIDTH["mn10"] == 1.0
+    assert make_divisible(16 * 0.4) == 8
