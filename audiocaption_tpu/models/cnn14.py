@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from audiocaption_tpu.models import convert
@@ -84,3 +85,23 @@ def convert_cnn14(sd, prefix: str = ""):
     if k("fc1.weight") in sd:
         params["fc1"] = convert.linear(sd, k("fc1"))
     return params, stats
+
+
+class Cnn14Classifier(nn.Module):
+    """PANNs-style AudioSet tagging head on Cnn14 (reference panns.py:
+    44-320, used for feature extraction / event probabilities feeding
+    the event-conditioned models)."""
+    classes_num: int = 527
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, lms: Array, feat_len: Array,
+                 train: bool = False) -> Dict[str, Array]:
+        enc = Cnn14Encoder(compute_dtype=self.compute_dtype,
+                           name="encoder")(lms, feat_len, train=train)
+        logits = nn.Dense(self.classes_num, kernel_init=torch_linear_init,
+                          name="fc_audioset")(enc["fc_emb"])
+        out = dict(enc)
+        out["clipwise_output"] = jax.nn.sigmoid(logits)
+        out["logits"] = logits
+        return out

@@ -133,3 +133,16 @@ def test_mobilenet_v3_width_mapping():
         NAME_TO_WIDTH, make_divisible)
     assert NAME_TO_WIDTH["mn10"] == 1.0
     assert make_divisible(16 * 0.4) == 8
+
+
+@pytest.mark.parametrize("variant", ["uit_xxxs", "uit_xs"])
+def test_uit_encoder(variant):
+    from audiocaption_tpu.models.uit import UiTEncoder
+    enc = UiTEncoder(variant=variant)
+    lms = jnp.zeros((2, 501, 64))
+    fl = jnp.asarray([501, 300])
+    v = enc.init(jax.random.PRNGKey(0), lms, fl)
+    out = enc.apply(v, lms, fl)
+    assert out["attn_emb"].shape == (2, 62, enc.fc_emb_size)
+    np.testing.assert_array_equal(np.asarray(out["attn_emb_len"]),
+                                  [31, 18])
