@@ -1,0 +1,73 @@
+"""Evaluation tool CLI (reference python_scripts/eval/* and
+python_scripts/utils/{eval_round_robin,report_results}.py):
+
+    python -m audiocaption_tpu.cli.eval_tools round_robin --caption text.json
+    python -m audiocaption_tpu.cli.eval_tools report --experiment_path EXP
+    python -m audiocaption_tpu.cli.eval_tools diversity \
+        --predictions preds.json [--train_caption train_text.json]
+    python -m audiocaption_tpu.cli.eval_tools score \
+        --predictions preds.json --caption text.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _load_predictions(path: str):
+    with open(path) as f:
+        data = json.load(f)
+    if isinstance(data, dict) and "predictions" in data:
+        return {p["filename"]: [p["caption"]] for p in data["predictions"]}
+    return {k: [v] if isinstance(v, str) else v for k, v in data.items()}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="command", required=True)
+    rr = sub.add_parser("round_robin")
+    rr.add_argument("--caption", required=True)
+    rep = sub.add_parser("report")
+    rep.add_argument("--experiment_path", required=True)
+    rep.add_argument("--score_file", default="results/scores.txt")
+    div = sub.add_parser("diversity")
+    div.add_argument("--predictions", required=True)
+    div.add_argument("--train_caption", default=None)
+    sc = sub.add_parser("score")
+    sc.add_argument("--predictions", required=True)
+    sc.add_argument("--caption", required=True)
+    args = p.parse_args(argv)
+
+    from audiocaption_tpu.data.dataset import load_caption_json
+    if args.command == "round_robin":
+        from audiocaption_tpu.metrics.tools import round_robin_scores
+        scores = round_robin_scores(load_caption_json(args.caption))
+        for k, v in scores.items():
+            print(f"{k}: {v:.4f}")
+    elif args.command == "report":
+        from audiocaption_tpu.metrics.tools import aggregate_seed_results
+        agg = aggregate_seed_results(args.experiment_path, args.score_file)
+        for k, (mean, std) in agg.items():
+            print(f"{k}: {mean:.4f} +/- {std:.4f}")
+    elif args.command == "diversity":
+        from audiocaption_tpu.metrics import diversity_metrics
+        preds = [v[0] for v in _load_predictions(args.predictions).values()]
+        train = None
+        if args.train_caption:
+            refs = load_caption_json(args.train_caption)
+            train = [c for caps in refs.values() for c in caps]
+        for k, v in diversity_metrics(preds, train).items():
+            print(f"{k}: {v:.4f}")
+    elif args.command == "score":
+        from audiocaption_tpu.metrics import evaluate_captions
+        preds = _load_predictions(args.predictions)
+        refs = load_caption_json(args.caption)
+        refs = {k: v for k, v in refs.items() if k in preds}
+        for k, v in evaluate_captions(preds, refs).items():
+            if isinstance(v, float):
+                print(f"{k}: {v:.4f}")
+
+
+if __name__ == "__main__":
+    main()
