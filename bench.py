@@ -22,15 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compilation cache: repeat bench runs skip the slow remote
-# TPU compiles
-try:
-    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-except Exception:
-    pass
-
-
 _SUM = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
 
