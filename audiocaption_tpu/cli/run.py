@@ -124,6 +124,15 @@ class Runner:
         with open(exp_dir / "config.yaml", "w") as f:
             yaml.safe_dump(cfg, f)
 
+        # SCST (RL) training engages when the config wraps the model in
+        # ScstWrapper, exactly like the reference's rl_train detection
+        # (run.py:67-75; rl_model.py:11-85).  The wrapped node supplies
+        # the actual encoder/decoder config.
+        model_cfg = cfg["model"]
+        rl_train = _short(model_cfg.get("type", "")) == "ScstWrapper"
+        if rl_train:
+            model_cfg = model_cfg["model"]
+
         # data
         tok_cfg = cfg["data"]["train"]["collate_fn"]["tokenizer"]
         tokenizer = build_tokenizer(tok_cfg)
@@ -140,7 +149,7 @@ class Runner:
 
         # model
         model, pretrained = build_model_from_config(
-            cfg["model"], vocab_size=len(tokenizer))
+            model_cfg, vocab_size=len(tokenizer))
         with jax.default_device(jax.devices("cpu")[0]):
             variables = self._init_variables(model, cfg, seed)
         for spec in pretrained:
@@ -166,14 +175,42 @@ class Runner:
 
         devices = jax.devices()
         mesh = make_mesh(devices) if len(devices) > 1 else None
-        if mesh is not None:
+        if mesh is not None and not rl_train:
             state = replicate(state, mesh)
-        train_step = make_train_step(
-            model, loss_fn, tx, mesh=mesh,
-            specaug=cfg.get("specaug", False), donate=True)
-
-        # scheduled sampling (run.py:55-65)
+        # scheduled sampling (run.py:55-65); use_ss is static so the
+        # jitted step takes the one-pass teacher-forcing path when off
         ss_cfg = cfg.get("scheduled_sampling", {"use": False})
+        train_step = None
+        if not rl_train:
+            train_step = make_train_step(
+                model, loss_fn, tx, mesh=mesh,
+                specaug=cfg.get("specaug", False), donate=True,
+                use_ss=bool(ss_cfg.get("use")))
+        else:
+            # SCST pieces (training/scst.py; reference rl_model.py:24-85):
+            # jitted greedy+sample pass, host CIDEr rewards from the
+            # train references, jitted REINFORCE grads, optax update.
+            from audiocaption_tpu.native import FastCiderD
+            from audiocaption_tpu.training.scst import (
+                make_scst_fns, scst_step)
+            import optax
+            rl_cfg = cfg.get("rl", {}) or {}
+            train_key2refs = load_caption_json(
+                cfg["data"]["train"]["dataset"]["args"]["caption"],
+                zh=cfg.get("zh", False))
+            scst_fns = make_scst_fns(
+                model, max_length=rl_cfg.get("max_length", 20),
+                sample_temp=rl_cfg.get("sample_temp", 1.0))
+            rl_scorer = FastCiderD()
+            rl_key = jax.random.PRNGKey(seed + 17)
+
+            @jax.jit
+            def apply_grads(state, grads):
+                updates, new_opt = tx.update(grads, state.opt_state,
+                                             state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                return state.replace(step=state.step + 1,
+                                     params=new_params, opt_state=new_opt)
         ss_ratio = 1.0
         ss_per_iter = 0.0
         if ss_cfg.get("use"):
@@ -221,6 +258,18 @@ class Runner:
                         ss_ratio *= 0.01 ** (1.0 / total_iters)
                     else:
                         ss_ratio -= ss_per_iter
+                if rl_train:
+                    keys = list(batch["audio_id"])
+                    rl_key, sub = jax.random.split(rl_key)
+                    _, grads, rl_metrics = scst_step(
+                        model,
+                        {"params": state.params,
+                         "batch_stats": state.batch_stats},
+                        batch, train_key2refs, keys, tokenizer.idx2word,
+                        scst_fns, sub, scorer=rl_scorer)
+                    state = apply_grads(state, grads)
+                    losses.append(-rl_metrics["reward_sample"])
+                    continue
                 batch = {k: v for k, v in batch.items()
                          if k in ("wav", "wav_len", "cap", "cap_len")}
                 batch["cap"] = np.asarray(batch["cap"], np.int32)
@@ -276,6 +325,278 @@ class Runner:
                         epoch=epochs, monitor_state=monitor.state_dict(),
                         tokenizer_state=tokenizer.state_dict())
         log(f"done; best val score {monitor.best:.4f}")
+        return str(exp_dir)
+
+    # ----------------------------------------------------------- KD/aug --
+
+    def train_kd(self, config: str, *overrides) -> str:
+        """Knowledge-distillation training (reference KD runners,
+        train_eval/kd/run_kd.py, run_wavcaps_kd.py kd_type switch).
+
+        Config adds a ``kd`` block:
+            kd:
+              type: token | seq | enc
+              weight: 0.5          # KD loss mix
+              kd_loss: kl          # token KD divergence (kl/l2/l1)
+              temperature: 1.0
+              teacher:
+                experiment_path: EXP   # trained experiment dir
+                resume: swa.pth
+              teacher_emb: embs.npz    # enc KD: audio_id -> embedding
+        """
+        cfg = load_config(config, parse_overrides(overrides))
+        kd_cfg = cfg["kd"]
+        kd_type = kd_cfg.get("type", "token")
+        seed = cfg.get("seed", 1)
+        set_seed(seed)
+        exp_dir = Path(cfg["experiment_path"]) / f"seed_{seed}"
+        exp_dir.mkdir(parents=True, exist_ok=True)
+        with open(exp_dir / "config.yaml", "w") as f:
+            yaml.safe_dump(cfg, f)
+
+        tok_cfg = cfg["data"]["train"]["collate_fn"]["tokenizer"]
+        tokenizer = build_tokenizer(tok_cfg)
+        train_loader = build_dataloader(cfg["data"]["train"], tokenizer,
+                                        train=True)
+        val_cfg = cfg["data"]["val"]
+        val_loader = build_dataloader(val_cfg, train=False)
+        val_key2refs = load_caption_json(val_cfg["caption"],
+                                         zh=cfg.get("zh", False))
+
+        model, pretrained = build_model_from_config(
+            cfg["model"], vocab_size=len(tokenizer))
+        with jax.default_device(jax.devices("cpu")[0]):
+            variables = self._init_variables(model, cfg, seed)
+        for spec in pretrained:
+            variables = load_pretrained_into(variables, spec)
+        variables = jax.device_get(variables)
+
+        trainer_cfg = cfg.get("trainer", {})
+        epochs = trainer_cfg.get("epochs", 25)
+        total_iters = epochs * len(train_loader)
+        opt_args = cfg.get("optimizer", {}).get("args", {})
+        base_lr = opt_args.get("lr", 5e-4)
+        sched = build_schedule(cfg.get("lr_scheduler", {}), base_lr,
+                               total_iters, total_iters // 5)
+        tx = make_optimizer(base_lr, sched,
+                            weight_decay=opt_args.get("weight_decay", 0.0),
+                            max_grad_norm=trainer_cfg.get(
+                                "max_grad_norm", 1.0))
+        log = _make_logger(exp_dir / "train.log")
+
+        # teacher (a trained experiment of THIS framework; the reference
+        # builds its teacher from an experiment config the same way,
+        # kd/run_kd.py teacher loading)
+        teacher_fwd = None
+        teacher_generate = None
+        if kd_cfg.get("teacher"):
+            t_cfg, t_model, t_vars, t_tok = self._load_experiment(
+                kd_cfg["teacher"]["experiment_path"],
+                kd_cfg["teacher"].get("resume", "swa.pth"))
+
+            if kd_type == "token":
+                @jax.jit
+                def teacher_fwd(wav, wav_len, cap, cap_len):
+                    out = t_model.apply(
+                        t_vars, wav, wav_len, cap, cap_len,
+                        ss_ratio=1.0, train=False,
+                        rngs={"sample": jax.random.PRNGKey(0)})
+                    return out["logit"]
+            elif kd_type == "seq":
+                def teacher_generate(wav, wav_len):
+                    seq = jax.jit(
+                        lambda w, wl: generate(t_model, t_vars, w, wl,
+                                               sample_method="greedy")
+                        ["seq"])(jnp.asarray(wav), jnp.asarray(wav_len))
+                    return t_tok.decode(np.asarray(seq))
+
+        from audiocaption_tpu.training import create_train_state
+        state = create_train_state(variables, tx, jax.random.PRNGKey(seed))
+
+        if kd_type == "seq":
+            # teacher-generated pseudo captions, cached per audio id
+            # (run_wavcaps_kd.py:50-70); student then trains on them
+            from audiocaption_tpu.training.distill import (
+                generate_pseudo_captions)
+            cache_path = exp_dir / "pseudo_captions.json"
+            cache = (json.loads(cache_path.read_text())
+                     if cache_path.exists() else {})
+            cache = generate_pseudo_captions(teacher_generate,
+                                             train_loader, cache)
+            cache_path.write_text(json.dumps(cache, indent=1))
+            step = make_train_step(
+                model, build_loss(cfg.get("loss", {})), tx, use_ss=False)
+
+            def run_step(state, batch):
+                enc = tokenizer([cache[a] for a in batch["audio_id"]])
+                b = {"wav": batch["wav"], "wav_len": batch["wav_len"],
+                     "cap": np.asarray(enc["cap"], np.int32),
+                     "cap_len": np.asarray(enc["cap_len"])}
+                return step(state, b, jnp.float32(1.0))
+        elif kd_type == "enc":
+            from audiocaption_tpu.losses.kd import ContraEncoderKdHead
+            from audiocaption_tpu.training.distill import (
+                make_encoder_kd_step)
+            embs = dict(np.load(kd_cfg["teacher_emb"]))
+            tchr_dim = next(iter(embs.values())).shape[-1]
+            kd_head = ContraEncoderKdHead(
+                shared_dim=kd_cfg.get("shared_dim", 1024))
+            fc_dim = model.decoder.fc_emb_dim or 512
+            head_vars = kd_head.init(jax.random.PRNGKey(seed),
+                                     jnp.zeros((2, fc_dim)),
+                                     jnp.zeros((2, tchr_dim)))
+            state = create_train_state(
+                {"params": {"model": variables["params"],
+                            "kd": head_vars["params"]},
+                 "batch_stats": variables.get("batch_stats", {})},
+                tx, jax.random.PRNGKey(seed))
+            kd_step = make_encoder_kd_step(
+                model, kd_head, tx, kd_weight=kd_cfg.get("weight", 1.0),
+                unsup=kd_cfg.get("unsup", False))
+
+            def run_step(state, batch):
+                b = {"wav": jnp.asarray(batch["wav"]),
+                     "wav_len": jnp.asarray(batch["wav_len"]),
+                     "tchr_emb": jnp.asarray(np.stack(
+                         [embs[a] for a in batch["audio_id"]]))}
+                if not kd_cfg.get("unsup", False):
+                    b["cap"] = jnp.asarray(batch["cap"], jnp.int32)
+                    b["cap_len"] = jnp.asarray(batch["cap_len"])
+                return kd_step(state, b, jnp.float32(1.0))
+        else:  # token
+            from audiocaption_tpu.training.distill import make_token_kd_step
+            kd_step = make_token_kd_step(
+                model, tx, kd_weight=kd_cfg.get("weight", 0.5),
+                kd_type=kd_cfg.get("kd_loss", "kl"),
+                temperature=kd_cfg.get("temperature", 1.0),
+                smoothing=cfg.get("loss", {}).get(
+                    "args", {}).get("smoothing", 0.1))
+
+            def run_step(state, batch):
+                wav = jnp.asarray(batch["wav"])
+                wav_len = jnp.asarray(batch["wav_len"])
+                cap = jnp.asarray(np.asarray(batch["cap"], np.int32))
+                cap_len = jnp.asarray(batch["cap_len"])
+                t_logit = teacher_fwd(wav, wav_len, cap, cap_len)
+                b = {"wav": wav, "wav_len": wav_len, "cap": cap,
+                     "cap_len": cap_len, "teacher_logit": t_logit}
+                return kd_step(state, b, jnp.float32(1.0))
+
+        monitor = MetricImprover("max")
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            losses = []
+            for batch in train_loader:
+                state, metrics = run_step(state, batch)
+                losses.append(float(metrics["loss"]))
+            params = state.params["model"] if kd_type == "enc" \
+                else state.params
+            variables = {"params": jax.device_get(params),
+                         "batch_stats": jax.device_get(state.batch_stats)}
+            score = self._val_score(model, variables, tokenizer,
+                                    val_loader, val_key2refs)
+            improved = monitor(score)
+            log(f"kd[{kd_type}] epoch {epoch}: "
+                f"loss {float(np.mean(losses)):.4f} "
+                f"val_cider {score:.4f} ({time.time() - t0:.0f}s)")
+            ckpt_kw = dict(epoch=epoch,
+                           tokenizer_state=tokenizer.state_dict())
+            if improved:
+                save_checkpoint(str(exp_dir / "best.pth"), variables,
+                                **ckpt_kw)
+            save_checkpoint(str(exp_dir / "last.pth"), variables, **ckpt_kw)
+        save_checkpoint(str(exp_dir / "swa.pth"), variables,
+                        epoch=epochs,
+                        tokenizer_state=tokenizer.state_dict())
+        return str(exp_dir)
+
+    def train_aug(self, config: str, *overrides) -> str:
+        """Dual-loader augmented training (run_aug.py:37-99):
+        loss = real + discount * aug, with a ``data.train_aug`` loader
+        and an ``aug: {discount, mode}`` block."""
+        from audiocaption_tpu.training.aug_runner import (
+            discount_schedule, interleave_loaders, make_aug_train_step)
+        from audiocaption_tpu.training import create_train_state
+
+        cfg = load_config(config, parse_overrides(overrides))
+        seed = cfg.get("seed", 1)
+        set_seed(seed)
+        exp_dir = Path(cfg["experiment_path"]) / f"seed_{seed}"
+        exp_dir.mkdir(parents=True, exist_ok=True)
+        with open(exp_dir / "config.yaml", "w") as f:
+            yaml.safe_dump(cfg, f)
+
+        tok_cfg = cfg["data"]["train"]["collate_fn"]["tokenizer"]
+        tokenizer = build_tokenizer(tok_cfg)
+        train_loader = build_dataloader(cfg["data"]["train"], tokenizer,
+                                        train=True)
+        aug_loader = build_dataloader(cfg["data"]["train_aug"], tokenizer,
+                                      train=True)
+        val_cfg = cfg["data"]["val"]
+        val_loader = build_dataloader(val_cfg, train=False)
+        val_key2refs = load_caption_json(val_cfg["caption"],
+                                         zh=cfg.get("zh", False))
+
+        model, pretrained = build_model_from_config(
+            cfg["model"], vocab_size=len(tokenizer))
+        with jax.default_device(jax.devices("cpu")[0]):
+            variables = self._init_variables(model, cfg, seed)
+        for spec in pretrained:
+            variables = load_pretrained_into(variables, spec)
+        variables = jax.device_get(variables)
+
+        trainer_cfg = cfg.get("trainer", {})
+        epochs = trainer_cfg.get("epochs", 25)
+        total_iters = epochs * len(train_loader)
+        opt_args = cfg.get("optimizer", {}).get("args", {})
+        base_lr = opt_args.get("lr", 5e-4)
+        sched = build_schedule(cfg.get("lr_scheduler", {}), base_lr,
+                               total_iters, total_iters // 5)
+        tx = make_optimizer(base_lr, sched,
+                            weight_decay=opt_args.get("weight_decay", 0.0),
+                            max_grad_norm=trainer_cfg.get(
+                                "max_grad_norm", 1.0))
+        state = create_train_state(variables, tx, jax.random.PRNGKey(seed))
+        aug_cfg = cfg.get("aug", {}) or {}
+        disc_fn = discount_schedule(aug_cfg.get("mode", "linear"),
+                                    aug_cfg.get("discount", 0.5),
+                                    total_iters)
+        step = make_aug_train_step(model, build_loss(cfg.get("loss", {})),
+                                   tx)
+        log = _make_logger(exp_dir / "train.log")
+        monitor = MetricImprover("max")
+        it = 0
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            losses = []
+            for real, aug in interleave_loaders(train_loader, aug_loader):
+                def prep(b):
+                    return {"wav": jnp.asarray(b["wav"]),
+                            "wav_len": jnp.asarray(b["wav_len"]),
+                            "cap": jnp.asarray(
+                                np.asarray(b["cap"], np.int32)),
+                            "cap_len": jnp.asarray(b["cap_len"])}
+                state, metrics = step(state, prep(real), prep(aug),
+                                      jnp.float32(disc_fn(it)),
+                                      jnp.float32(1.0))
+                losses.append(float(metrics["loss"]))
+                it += 1
+            variables = {"params": jax.device_get(state.params),
+                         "batch_stats": jax.device_get(state.batch_stats)}
+            score = self._val_score(model, variables, tokenizer,
+                                    val_loader, val_key2refs)
+            improved = monitor(score)
+            log(f"aug epoch {epoch}: loss {float(np.mean(losses)):.4f} "
+                f"val_cider {score:.4f} discount {disc_fn(it):.3f} "
+                f"({time.time() - t0:.0f}s)")
+            ckpt_kw = dict(epoch=epoch,
+                           tokenizer_state=tokenizer.state_dict())
+            if improved:
+                save_checkpoint(str(exp_dir / "best.pth"), variables,
+                                **ckpt_kw)
+            save_checkpoint(str(exp_dir / "last.pth"), variables, **ckpt_kw)
+        save_checkpoint(str(exp_dir / "swa.pth"), variables, epoch=epochs,
+                        tokenizer_state=tokenizer.state_dict())
         return str(exp_dir)
 
     def _init_variables(self, model: Captioner, cfg: Dict, seed: int):
@@ -379,6 +700,98 @@ class Runner:
                     f.write(f"{k}: {v:.4f}\n")
         return result
 
+    # --------------------------------------------------------- ensemble --
+
+    def _load_ensemble(self, eval_cfg: Dict):
+        """Load N trained experiments (ensemble.py:290-300); all must
+        share the tokenizer/vocab."""
+        models, variables_list, tokenizer = [], [], None
+        for exp_path in eval_cfg["experiment_path"]:
+            cfg, model, variables, tok = self._load_experiment(
+                exp_path, eval_cfg.get("resume", "swa.pth"))
+            models.append(model)
+            variables_list.append(variables)
+            tokenizer = tokenizer or tok
+        return models, variables_list, tokenizer
+
+    def ensemble_predict(self, eval_config: str, *overrides,
+                         dump_output: bool = True) -> Dict[str, List[str]]:
+        """Ensembled decode by mean per-step log-softmax
+        (ensemble.py:133-276; decoding/ensemble.py here): predictions
+        json in the reference's format."""
+        from audiocaption_tpu.decoding.ensemble import ensemble_generate
+        eval_cfg = load_config(eval_config, parse_overrides(overrides))
+        models, variables_list, tokenizer = self._load_ensemble(eval_cfg)
+        loader = build_dataloader(eval_cfg["data"]["test"], train=False)
+        inference_args = dict(eval_cfg.get("inference_args",
+                                           {"sample_method": "beam",
+                                            "beam_size": 3}))
+        decode_jit = {}
+
+        def run(wav, wav_len):
+            key = wav.shape
+            if key not in decode_jit:
+                decode_jit[key] = jax.jit(
+                    lambda w, wl: ensemble_generate(
+                        models, variables_list, w, wl,
+                        **inference_args)["seq"])
+            return decode_jit[key](wav, wav_len)
+
+        key2pred: Dict[str, List[str]] = {}
+        for batch in loader:
+            seq = run(jnp.asarray(batch["wav"]),
+                      jnp.asarray(batch["wav_len"]))
+            seq = np.asarray(seq)
+            if seq.ndim == 3:       # n-best layouts: take the top beam
+                seq = seq[:, 0]
+            caps = tokenizer.decode(seq)
+            for aid, cap in zip(batch["audio_id"], caps):
+                key2pred.setdefault(aid, [cap])
+        if dump_output:
+            out_path = Path(eval_cfg["output_path"]) / eval_cfg.get(
+                "caption_output", "predictions.json")
+            out_path.parent.mkdir(parents=True, exist_ok=True)
+            with open(out_path, "w") as f:
+                json.dump({"predictions": [
+                    {"filename": k, "tokens": v[0]}
+                    for k, v in key2pred.items()]}, f, indent=2)
+        return key2pred
+
+    def ensemble_evaluate(self, eval_config: str, *overrides) -> Dict:
+        """Ensemble predict + caption metrics (ensemble.py:347-392)."""
+        eval_cfg = load_config(eval_config, parse_overrides(overrides))
+        key2pred = self.ensemble_predict(eval_config, *overrides)
+        key2refs = load_caption_json(eval_cfg["data"]["test"]["caption"],
+                                     zh=eval_cfg.get("zh", False))
+        key2refs = {k: v for k, v in key2refs.items() if k in key2pred}
+        result = evaluate_captions(key2pred, key2refs)
+        out = Path(eval_cfg["output_path"]) / eval_cfg.get(
+            "score_output", "scores.txt")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        with open(out, "w") as f:
+            for k, v in result.items():
+                if isinstance(v, float):
+                    f.write(f"{k}: {v:.4f}\n")
+        return result
+
+    def dcase_predict(self, eval_config: str, *overrides) -> str:
+        """DCASE submission csv: file_name,caption_predicted
+        (ensemble.py:394-409)."""
+        import csv
+        eval_cfg = load_config(eval_config, parse_overrides(overrides))
+        key2pred = self.ensemble_predict(eval_config, *overrides,
+                                         dump_output=False)
+        out = Path(eval_cfg["output_path"]) / eval_cfg.get(
+            "dcase_output", "dcase_predictions.csv")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        with open(out, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["file_name",
+                                              "caption_predicted"])
+            w.writeheader()
+            for key, pred in key2pred.items():
+                w.writerow({"file_name": key, "caption_predicted": pred[0]})
+        return str(out)
+
     def debug(self, config: str, *overrides):
         """One-batch forward+backward (run.py:363-378)."""
         cfg = load_config(config, parse_overrides(overrides))
@@ -446,15 +859,17 @@ def _make_logger(path: Path):
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="audiocaption_tpu.cli.run")
     sub = parser.add_subparsers(dest="command", required=True)
-    p_train = sub.add_parser("train")
-    p_train.add_argument("--config", required=True)
-    p_train.add_argument("overrides", nargs="*")
-    p_debug = sub.add_parser("debug")
-    p_debug.add_argument("--config", required=True)
-    p_debug.add_argument("overrides", nargs="*")
+    for name in ("train", "train_kd", "train_aug", "debug"):
+        p = sub.add_parser(name)
+        p.add_argument("--config", required=True)
+        p.add_argument("overrides", nargs="*")
     for name in ("evaluate", "predict"):
         p = sub.add_parser(name)
         p.add_argument("--experiment_path", required=True)
+        p.add_argument("--eval_config", required=True)
+        p.add_argument("overrides", nargs="*")
+    for name in ("ensemble_predict", "ensemble_evaluate", "dcase_predict"):
+        p = sub.add_parser(name)
         p.add_argument("--eval_config", required=True)
         p.add_argument("overrides", nargs="*")
 
@@ -462,6 +877,10 @@ def main(argv=None):
     runner = Runner()
     if args.command == "train":
         runner.train(args.config, *args.overrides)
+    elif args.command == "train_kd":
+        runner.train_kd(args.config, *args.overrides)
+    elif args.command == "train_aug":
+        runner.train_aug(args.config, *args.overrides)
     elif args.command == "debug":
         runner.debug(args.config, *args.overrides)
     elif args.command == "evaluate":
@@ -470,6 +889,12 @@ def main(argv=None):
     elif args.command == "predict":
         runner.predict(args.experiment_path, args.eval_config,
                        *args.overrides)
+    elif args.command == "ensemble_predict":
+        runner.ensemble_predict(args.eval_config, *args.overrides)
+    elif args.command == "ensemble_evaluate":
+        print(runner.ensemble_evaluate(args.eval_config, *args.overrides))
+    elif args.command == "dcase_predict":
+        runner.dcase_predict(args.eval_config, *args.overrides)
 
 
 if __name__ == "__main__":

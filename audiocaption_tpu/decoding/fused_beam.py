@@ -1,0 +1,440 @@
+"""Fully fused batched BEAM SEARCH: the entire beam-3 decode loop —
+embedding, N transformer layers, vocab projection, per-sample top-K over
+[K x V], parent-beam cache gather, done-beam harvest with length
+normalization and the -1000 ended-beam penalty — inside ONE Pallas
+kernel with weights pinned in VMEM.
+
+Beam is the reference's default decode (base.py:88-98: sample_method
+beam, beam_size 3), so it must be kernel-fast, not just the greedy path.
+Semantics are token-identical to decoding.engine.beam_search (itself
+parity-tested token-for-token against the reference's per-sample Python
+beam search, base.py:254-325) for temp == 1.0.
+
+Layout decisions (Mosaic-friendly; see fused_greedy.py for the shared
+tricks — lane-padded heads, folded 1/sqrt(dh), one-hot embedding):
+
+  * rows are BEAM-MAJOR: row k*B + b is (beam k, sample b), so "all rows
+    of beam k" is a contiguous static sublane slice [k*B, (k+1)*B) —
+    per-beam math never needs strided gathers;
+  * cross-attention K/V are stored ONCE per sample [S, B, H*HPAD] and
+    reused by every beam (the XLA engine materializes B*K copies);
+  * top-K over the virtual [K*V] axis is hierarchical: per-beam lane
+    max/argmax, then an unrolled strict-> select over beams, repeated K
+    times with the picked entry masked out.  Strict > keeps lax.top_k's
+    lower-flat-index tie-breaking (beam-major flat index = k*V + word);
+  * the parent-beam gather of the self-attention caches / sequences /
+    pad flags is K^2 masked selects over contiguous beam slices (K = 3,
+    so 9 selects) — no dynamic sublane gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audiocaption_tpu.decoding.fused_greedy import (
+    HPAD, pack_decoder_weights)
+from audiocaption_tpu.models.captioner import Captioner
+from audiocaption_tpu.models.transformer_decoder import TransformerDecoder
+
+NEG = jnp.float32(-3.0e38)          # engine NEG_INF (finfo.min) stand-in
+
+
+def _ln(x, ln):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + 1e-5) * ln[0:1, :] + ln[1:2, :]
+
+
+def _mha_lanes(q, kcache, vcache, valid, nhead):
+    """q: [N, H*HPAD]; kcache/vcache: [T, N, H*HPAD]; valid: [T, N]."""
+    ctxs = []
+    neg = jnp.float32(-1e30)
+    for h in range(nhead):
+        sl = slice(h * HPAD, (h + 1) * HPAD)
+        scores = jnp.sum(q[None, :, sl] * kcache[:, :, sl], axis=-1)
+        scores = jnp.where(valid, scores, neg)
+        m = jnp.max(scores, axis=0, keepdims=True)
+        e = jnp.exp(scores - m)
+        attn = e / jnp.sum(e, axis=0, keepdims=True)
+        ctxs.append(jnp.sum(attn[:, :, None] * vcache[:, :, sl], axis=0))
+    return jnp.concatenate(ctxs, axis=-1)
+
+
+def _make_beam_kernel(nlayers: int, nhead: int, L: int, K: int, B: int,
+                      eos: int, pad: int, v_real: int, emb_dim: int):
+    import math
+    sqrt_e = math.sqrt(emb_dim)
+
+    def kernel(*refs):
+        idx = 0
+        memk = [refs[idx + i] for i in range(nlayers)]; idx += nlayers
+        memv = [refs[idx + i] for i in range(nlayers)]; idx += nlayers
+        mem_valid_ref = refs[idx]; idx += 1               # [S, B] f32
+        emb_in_ref = refs[idx]; idx += 1
+        emb_out_ref = refs[idx]; idx += 1
+        pe_ref = refs[idx]; idx += 1
+        lw = []
+        per_layer = 17
+        for i in range(nlayers):
+            lw.append([refs[idx + j] for j in range(per_layer)])
+            idx += per_layer
+        out_seq = refs[idx]; idx += 1                     # [L, K*B] i32
+        out_score = refs[idx]; idx += 1                   # [K8, B] f32
+        self_k = [refs[idx + i] for i in range(nlayers)]; idx += nlayers
+        self_v = [refs[idx + i] for i in range(nlayers)]; idx += nlayers
+        pad_flag = refs[idx]; idx += 1                    # [L, K*B] f32
+        seq_ref = refs[idx]; idx += 1                     # [L, K*B] i32
+
+        v_pad = emb_out_ref.shape[1]
+        mem_valid1 = mem_valid_ref[:] > 0                 # [S, B]
+        # valid mask replicated over beams: [S, K*B]
+        mem_validK = jnp.concatenate([mem_valid1] * K, axis=1)
+
+        def bsl(k):
+            return slice(k * B, (k + 1) * B)
+
+        def step(t, carry):
+            # word [K*B, 1] i32; topk_lp/done [K8, B]; done_count/stopped
+            # [1, B] f32
+            word, topk_lp, done_count, stopped = carry
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (K * B, v_pad), 1)
+            onehot = (lane == word).astype(jnp.float32)
+            x = jnp.dot(onehot, emb_in_ref[:],
+                        preferred_element_type=jnp.float32) * sqrt_e
+            x = x + pe_ref[pl.ds(t, 1), :]
+
+            pad_flag[pl.ds(t, 1), :] = jnp.transpose(
+                (word == pad).astype(jnp.float32), (1, 0))
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (self_k[0].shape[0], K * B), 0)
+            self_valid = (row <= t) & (pad_flag[:] < 0.5)
+
+            for i in range(nlayers):
+                (wq, bq, wk, bk, wv, bv, wo, bo, xwq, xbq, xwo, xbo,
+                 w1, b1, w2, b2x, lns) = lw[i]
+                ln1, ln2, ln3 = lns[0:2, :], lns[2:4, :], lns[4:6, :]
+                q = jnp.dot(x, wq[:],
+                            preferred_element_type=jnp.float32) + bq[:]
+                k = jnp.dot(x, wk[:],
+                            preferred_element_type=jnp.float32) + bk[:]
+                v = jnp.dot(x, wv[:],
+                            preferred_element_type=jnp.float32) + bv[:]
+                self_k[i][pl.ds(t, 1), :, :] = k[None]
+                self_v[i][pl.ds(t, 1), :, :] = v[None]
+                ctx = _mha_lanes(q, self_k[i][:], self_v[i][:],
+                                 self_valid, nhead)
+                sa = jnp.dot(ctx, wo[:],
+                             preferred_element_type=jnp.float32) + bo[:]
+                x = _ln(x + sa, ln1)
+                xq = jnp.dot(x, xwq[:],
+                             preferred_element_type=jnp.float32) + xbq[:]
+                # cross attention: mem K/V stored once per sample; slice
+                # per beam (contiguous rows) against the shared memory
+                xctxs = []
+                for kb in range(K):
+                    xctxs.append(_mha_lanes(
+                        xq[bsl(kb)], memk[i][:], memv[i][:], mem_valid1,
+                        nhead))
+                xctx = jnp.concatenate(xctxs, axis=0)
+                ca = jnp.dot(xctx, xwo[:],
+                             preferred_element_type=jnp.float32) + xbo[:]
+                x = _ln(x + ca, ln2)
+                h = jnp.maximum(
+                    jnp.dot(x, w1[:],
+                            preferred_element_type=jnp.float32) + b1[:],
+                    0.0)
+                ff = jnp.dot(h, w2[:],
+                             preferred_element_type=jnp.float32) + b2x[:]
+                x = _ln(x + ff, ln3)
+
+            logits = jnp.dot(x, emb_out_ref[:],
+                             preferred_element_type=jnp.float32)
+            lane_v = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(lane_v < v_real, logits, -1e9)
+            # log-softmax (engine applies it twice with /temp; for
+            # temp == 1 the second application is the identity)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            lp = logits - m - jnp.log(
+                jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+
+            # total scores per beam: [B, v_pad] each
+            totals = []
+            for kb in range(K):
+                tot = lp[bsl(kb)] + jnp.transpose(
+                    topk_lp[kb:kb + 1, :], (1, 0))
+                # t == 0: all beams identical -> only beam 0 competes
+                if kb > 0:
+                    tot = jnp.where(jnp.equal(t, 0), NEG, tot)
+                totals.append(tot)
+
+            # hierarchical top-K over the virtual [K*V] axis
+            new_lp_l, prev_beam_l, new_word_l = [], [], []
+            for _sel in range(K):
+                per_max = [jnp.max(tk, axis=-1) for tk in totals]   # [B]
+                per_arg = [jnp.argmax(tk, axis=-1).astype(jnp.int32)
+                           for tk in totals]
+                best = per_max[0]
+                best_beam = jnp.zeros_like(per_arg[0])
+                best_word = per_arg[0]
+                for j in range(1, K):
+                    better = per_max[j] > best
+                    best = jnp.where(better, per_max[j], best)
+                    best_beam = jnp.where(better, j, best_beam)
+                    best_word = jnp.where(better, per_arg[j], best_word)
+                new_lp_l.append(best)
+                prev_beam_l.append(best_beam)
+                new_word_l.append(best_word)
+                # mask the picked entry out
+                lane_b = jax.lax.broadcasted_iota(
+                    jnp.int32, (B, v_pad), 1)
+                for j in range(K):
+                    hit = (best_beam == j)[:, None] & \
+                        (lane_b == best_word[:, None])
+                    totals[j] = jnp.where(hit, NEG, totals[j])
+
+            # ---- parent-beam gather (K^2 masked selects) ----
+            def gather_rows(read_slice):
+                """read_slice(j) -> [..., B, ...] slice of source beam j;
+                returns list over target beams of gathered values."""
+                outs = []
+                for kt in range(K):
+                    pb = prev_beam_l[kt]                  # [B] i32
+                    acc = read_slice(0)
+                    bshape = [1] * acc.ndim
+                    baxis = 1 if acc.ndim >= 2 else 0
+                    for j in range(1, K):
+                        m_ = (pb == j)
+                        shape = list(bshape)
+                        shape[baxis] = B
+                        mj = m_.reshape(shape) if acc.ndim > 1 else m_
+                        acc = jnp.where(mj, read_slice(j), acc)
+                    outs.append(acc)
+                return outs
+
+            # seq: gather prefix then append the new word at t
+            new_seqs = gather_rows(lambda j: seq_ref[:, bsl(j)])
+            for kt in range(K):
+                seq_ref[:, bsl(kt)] = new_seqs[kt]
+                seq_ref[pl.ds(t, 1), bsl(kt)] = \
+                    new_word_l[kt][None, :]
+            # pad flags
+            new_pads = gather_rows(lambda j: pad_flag[:, bsl(j)])
+            for kt in range(K):
+                pad_flag[:, bsl(kt)] = new_pads[kt]
+            # self-attention caches
+            for i in range(nlayers):
+                for ref in (self_k[i], self_v[i]):
+                    new_cs = gather_rows(lambda j: ref[:, bsl(j), :])
+                    for kt in range(K):
+                        ref[:, bsl(kt), :] = new_cs[kt]
+
+            # ---- done-beam harvest (engine _merge_done semantics) ----
+            new_lp = jnp.stack(new_lp_l, axis=0)          # [K, B]
+            new_word = jnp.stack(new_word_l, axis=0)      # [K, B]
+            is_end = (new_word == eos) | jnp.full(
+                (K, B), t == L - 1)
+            harvest = is_end & (stopped[0:1, :] < 0.5)
+            inv_len = 1.0 / (t + 1).astype(jnp.float32)
+            cand_score = jnp.where(harvest, new_lp * inv_len, NEG)
+
+            # stable top-K over [old done (K) || candidates (K)]
+            srcs = [out_score[s:s + 1, :][0] for s in range(K)] + \
+                   [cand_score[s] for s in range(K)]
+            chosen = [jnp.zeros((B,), bool) for _ in range(2 * K)]
+            slot_best_src = []
+            slot_best_score = []
+            for _slot in range(K):
+                best = jnp.full((B,), NEG)
+                best_src = jnp.zeros((B,), jnp.int32)
+                for si in range(2 * K):
+                    cand = jnp.where(chosen[si], NEG, srcs[si])
+                    better = cand > best
+                    best = jnp.where(better, cand, best)
+                    best_src = jnp.where(better, si, best_src)
+                slot_best_src.append(best_src)
+                slot_best_score.append(best)
+                for si in range(2 * K):
+                    chosen[si] = chosen[si] | (best_src == si)
+
+            # assemble new done seqs BEFORE overwriting out_seq
+            def done_src_seq(si):
+                if si < K:
+                    return out_seq[:, bsl(si)]
+                return seq_ref[:, bsl(si - K)]
+
+            new_done_seqs = []
+            for slot in range(K):
+                src_id = slot_best_src[slot]              # [B]
+                acc = done_src_seq(0)
+                for si in range(1, 2 * K):
+                    acc = jnp.where((src_id == si)[None, :],
+                                    done_src_seq(si), acc)
+                new_done_seqs.append(acc)
+            for slot in range(K):
+                out_seq[:, bsl(slot)] = new_done_seqs[slot]
+                out_score[slot:slot + 1, :] = \
+                    slot_best_score[slot][None, :]
+
+            done_count = done_count + jnp.sum(
+                harvest.astype(jnp.float32), axis=0, keepdims=True)
+            stopped = jnp.maximum(
+                stopped, (done_count >= K).astype(jnp.float32))
+            new_lp = jnp.where(is_end, new_lp - 1000.0, new_lp)
+
+            # next input word, beam-major rows
+            word_next = jnp.concatenate(
+                [new_word[kt][:, None] for kt in range(K)], axis=0)
+            # pad topk_lp back out to the stored sublane count
+            topk_pad = jnp.concatenate(
+                [new_lp, jnp.zeros((topk_lp.shape[0] - K, B))], axis=0)
+            return (word_next, topk_pad, done_count, stopped)
+
+        for i in range(nlayers):
+            self_k[i][:] = jnp.zeros_like(self_k[i])
+            self_v[i][:] = jnp.zeros_like(self_v[i])
+        pad_flag[:] = jnp.zeros_like(pad_flag)
+        seq_ref[:] = jnp.full_like(seq_ref, eos)
+        out_seq[:] = jnp.full_like(out_seq, eos)
+        out_score[:] = jnp.full_like(out_score, NEG)
+
+        K8 = out_score.shape[0]
+        word0 = jnp.ones((K * B, 1), jnp.int32)           # <bos>
+        lp0 = jnp.zeros((K8, B), jnp.float32)
+        dc0 = jnp.zeros((1, B), jnp.float32)
+        st0 = jnp.zeros((1, B), jnp.float32)
+        jax.lax.fori_loop(0, L, step, (word0, lp0, dc0, st0))
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dec", "max_length", "beam_size"))
+def _fused_beam_call(dec: TransformerDecoder, max_length: int,
+                     beam_size: int, packed: Dict[str, jnp.ndarray],
+                     memk, memv, mem_valid
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    nlayers, nhead = dec.nlayers, dec._nhead
+    B = memk[0].shape[1]
+    K, L = beam_size, max_length
+    hp = nhead * HPAD
+    K8 = 8                                               # sublane-padded K
+
+    kernel = _make_beam_kernel(nlayers, nhead, L, K, B, 2, 0,
+                               dec.vocab_size, dec.emb_dim)
+    weight_keys = ["emb_in", "emb_out", "pe"]
+    inputs = list(memk) + list(memv) + [mem_valid]
+    inputs += [packed[k] for k in weight_keys]
+    for i in range(nlayers):
+        for k in ["wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",
+                  "xwq", "xbq", "xwo", "xbo", "w1", "b1", "w2", "b2",
+                  "ln"]:
+            if k == "ln":
+                inputs.append(jnp.concatenate(
+                    [packed[f"l{i}_ln1"], packed[f"l{i}_ln2"],
+                     packed[f"l{i}_ln3"]], axis=0))
+            else:
+                inputs.append(packed[f"l{i}_{k}"])
+
+    n_in = len(inputs)
+    out_seq, out_score = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((L, K * B), jnp.int32),
+                   jax.ShapeDtypeStruct((K8, B), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=(
+            [pltpu.VMEM((L, K * B, hp), jnp.float32)] * (2 * nlayers)
+            + [pltpu.VMEM((L, K * B), jnp.float32),
+               pltpu.VMEM((L, K * B), jnp.int32)]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(*inputs)
+    # [L, K*B] -> [B, K, L]; beam-major rows k*B+b
+    seq = jnp.transpose(out_seq.reshape(L, K, B), (2, 1, 0))
+    score = jnp.transpose(out_score[:K], (1, 0))          # [B, K]
+    return seq, score
+
+
+class FusedBeamDecoder:
+    """Whole-loop fused beam search (default beam_size 3, base.py:88-98).
+
+    Usage:
+        fb = FusedBeamDecoder(model, variables, beam_size=3)
+        seq = fb(wav, wav_len)              # [B, max_length], best beam
+        seq, score = fb(wav, wav_len, n_best=True)   # [B, K, L], [B, K]
+    """
+
+    def __init__(self, model: Captioner, variables: Dict,
+                 max_length: int = 20, beam_size: int = 3,
+                 max_kernel_batch: int = 64):
+        self.model = model
+        self.dec: TransformerDecoder = model.decoder
+        assert isinstance(self.dec, TransformerDecoder)
+        self.max_length = max_length
+        self.beam_size = beam_size
+        self.max_kernel_batch = max_kernel_batch
+        packed = pack_decoder_weights(
+            self.dec, jax.device_get(variables["params"]["decoder"]))
+        self._packed = {k: jnp.asarray(v) for k, v in packed.items()}
+        nhead = self.dec._nhead
+        dh = self.dec.emb_dim // nhead
+        dec = self.dec
+        dec_vars = {"params": variables["params"]["decoder"]}
+        packed_j = self._packed
+
+        def prepare(wav, wav_len):
+            enc = model.apply(variables, wav, wav_len,
+                              method=Captioner.encode)
+            static, _ = dec.apply(dec_vars, enc["attn_emb"],
+                                  enc["attn_emb_len"], max_length,
+                                  method=TransformerDecoder.init_cache)
+            memk, memv = [], []
+
+            def pad_heads(m):                              # [B, S, E]
+                m = jnp.transpose(m, (1, 0, 2))            # [S, B, E]
+                parts = []
+                for h in range(nhead):
+                    blk = m[:, :, h * dh:(h + 1) * dh]
+                    parts.append(jnp.pad(
+                        blk, ((0, 0), (0, 0), (0, HPAD - dh))))
+                return jnp.concatenate(parts, axis=-1)
+
+            for i in range(dec.nlayers):
+                memk.append(pad_heads(static[f"mem_k{i}"].astype(
+                    jnp.float32)))
+                memv.append(pad_heads(static[f"mem_v{i}"].astype(
+                    jnp.float32)))
+            mem_valid = jnp.transpose(
+                ~static["mem_kpm"], (1, 0)).astype(jnp.float32)
+            return tuple(memk), tuple(memv), mem_valid
+
+        @jax.jit
+        def run(wav, wav_len):
+            memk, memv, mem_valid = prepare(wav, wav_len)
+            return _fused_beam_call(dec, max_length, beam_size, packed_j,
+                                    memk, memv, mem_valid)
+
+        self._run = run
+
+    def __call__(self, wav, wav_len, n_best: bool = False):
+        B = wav.shape[0]
+        mb = self.max_kernel_batch
+        if B <= mb:
+            seq, score = self._run(wav, wav_len)
+        else:
+            outs = [self._run(wav[i:i + mb], wav_len[i:i + mb])
+                    for i in range(0, B, mb)]
+            seq = jnp.concatenate([o[0] for o in outs], axis=0)
+            score = jnp.concatenate([o[1] for o in outs], axis=0)
+        if n_best:
+            return seq, score
+        return seq[:, 0]

@@ -88,7 +88,11 @@ def pack_decoder_weights(dec: TransformerDecoder,
     emb_out[:, :V] = cls_kernel
 
     packed: Dict[str, np.ndarray] = {"emb_in": emb_in, "emb_out": emb_out}
-    packed["pe"] = sinusoidal_positions(dec.max_pos, E)
+    # pe is a loadable param (reference checkpoints carry a non-sinusoid
+    # frozen table, transformer_decoder.py:29,51-54); fall back to the
+    # sinusoidal default only for legacy param trees without it
+    packed["pe"] = (g(dec_params["pe"]) if "pe" in dec_params
+                    else sinusoidal_positions(dec.max_pos, E))
 
     for i in range(dec.nlayers):
         lp = dec_params[f"layer{i}"]

@@ -81,7 +81,21 @@ class TransformerDecoder(nn.Module):
                                        dtype=cd, param_dtype=jnp.float32,
                                        name="classifier")
         self.dropout_layer = nn.Dropout(self.dropout)
-        self.pe = jnp.asarray(sinusoidal_positions(self.max_pos, self.emb_dim))
+        # The positional table is a LOADABLE, non-trainable param: the
+        # reference registers it as an nn.Parameter and its init_params
+        # xavier-reinitializes every >1-dim param INCLUDING the PE
+        # (transformer_decoder.py:29,51-54), so trained reference
+        # checkpoints carry a random frozen table, not sinusoids.  We
+        # default to sinusoids (the sane choice for new models), load
+        # checkpoint values via the converter, stop_gradient it here,
+        # and make_optimizer masks any param named "pe" out of updates.
+        self.pe_param = self.param(
+            "pe", lambda rng: jnp.asarray(
+                sinusoidal_positions(self.max_pos, self.emb_dim)))
+
+    @property
+    def pe(self) -> Array:
+        return jax.lax.stop_gradient(self.pe_param)
 
     def _drop(self, x: Array, train: bool) -> Array:
         if train and self.dropout > 0:
@@ -196,6 +210,12 @@ def convert_transformer_decoder(sd, prefix: str = "",
         "attn_proj_dense": convert.linear(sd, k("attn_proj.0")),
         "attn_proj_norm": convert.layernorm(sd, k("attn_proj.3")),
     }
+    if k("pos_encoder.pe") in sd:
+        # checkpoint PE table [max_len, 1, d] -> [max_len, d]; reference
+        # checkpoints carry an xavier-random frozen table because
+        # init_params reinitializes the pe parameter
+        # (transformer_decoder.py:29,51-54, model_util.py:181-186)
+        params["pe"] = sd[k("pos_encoder.pe")][:, 0, :]
     for i in range(nlayers):
         params[f"layer{i}"] = convert.transformer_decoder_layer(
             sd, k(f"model.layers.{i}"))

@@ -68,7 +68,27 @@ def make_optimizer(base_lr: float, schedule: Callable,
             {"train": tx, "freeze": optax.set_to_zero()},
             jax.tree_util.tree_map(
                 lambda m: "train" if m else "freeze", trainable_mask))
+    # non-trainable buffers living in params: the transformer decoder's
+    # positional table "pe" is a frozen nn.Parameter in the reference
+    # (transformer_decoder.py:29, requires_grad=False) — mask it out so
+    # neither weight decay nor Adam moments ever move it.
+    tx = optax.multi_transform(
+        {"train": tx, "buffer": optax.set_to_zero()}, _buffer_labels)
     return tx
+
+
+def _buffer_labels(params) -> Any:
+    """Label tree: 'buffer' for frozen in-params buffers (name 'pe')."""
+    import flax.traverse_util as trav
+    flat = trav.flatten_dict(params, keep_empty_nodes=True)
+    labels = {}
+    for k, v in flat.items():
+        if v is trav.empty_node:
+            labels[k] = v
+        else:
+            labels[k] = ("buffer" if (isinstance(k[-1], str)
+                                      and k[-1] == "pe") else "train")
+    return trav.unflatten_dict(labels)
 
 
 def make_train_step(model,
@@ -77,12 +97,18 @@ def make_train_step(model,
                     mesh: Optional[Mesh] = None,
                     axis_name: str = "data",
                     specaug: bool = False,
-                    donate: bool = True):
+                    donate: bool = True,
+                    use_ss: bool = True):
     """Build the jitted train step.
 
     batch keys: wav [B, T], wav_len [B], cap [B, L], cap_len [B]
     (+ optional temporal_tag).  ``ss_ratio`` is a traced scalar so
     scheduled-sampling decay doesn't retrigger compilation.
+
+    ``use_ss`` is STATIC: with scheduled sampling off, the model sees
+    the python float 1.0 and transformer decoders take the single-pass
+    full-teacher-forcing path (train_forward switch, base.py:131-136)
+    instead of the per-token prefix-recompute loop.
     """
 
     def step_fn(state: TrainState, batch: Dict[str, Array],
@@ -98,7 +124,8 @@ def make_train_step(model,
                 kwargs["temporal_tag"] = batch["temporal_tag"]
             out, updates = model.apply(
                 variables, batch["wav"], batch["wav_len"], batch["cap"],
-                batch["cap_len"], ss_ratio=ss_ratio, train=True,
+                batch["cap_len"], ss_ratio=ss_ratio if use_ss else 1.0,
+                train=True,
                 specaug=specaug, mutable=["batch_stats"],
                 rngs={"sample": sample_rng, "dropout": dropout_rng,
                       "specaug": specaug_rng}, **kwargs)
@@ -110,8 +137,10 @@ def make_train_step(model,
         (loss, new_stats), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)
 
-        # NaN-loss skip (run.py:123-142): zero the update and keep BN
-        # stats when the loss is non-finite.
+        # NaN-loss skip (run.py:123-142): the whole update — params, opt
+        # state, BN stats — is masked by ``ok``.  Zeroing the grads alone
+        # is not enough: Adam's existing momentum would still move the
+        # params, which the reference's skipped optimizer.step() doesn't.
         ok = jnp.isfinite(loss)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
@@ -119,6 +148,8 @@ def make_train_step(model,
         new_opt = jax.tree_util.tree_map(
             lambda n, o: jnp.where(ok, n, o), new_opt, state.opt_state)
         new_params = optax.apply_updates(state.params, updates)
+        new_params = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_params, state.params)
         new_stats = jax.tree_util.tree_map(
             lambda n, o: jnp.where(ok, n, o), new_stats, state.batch_stats)
 

@@ -154,15 +154,49 @@ def test_train_step_data_parallel_mesh():
 
 
 def test_train_step_skips_nan():
+    """A NaN loss must leave params/opt_state/BN stats untouched — also
+    at step N>0 where Adam moments are nonzero (the reference skips
+    optimizer.step() entirely, run.py:123-142); zeroed grads alone
+    would still apply a momentum step."""
     model, state, batch = _setup_train()
     loss_fn = masked_token_loss("label_smoothing", 0.1)
     tx = make_optimizer(1e-3, exponential_decay_with_warmup(1e-3, 1e-5, 100, 5))
     step = make_train_step(model, loss_fn, tx, donate=False)
+    # two good steps first so optimizer moments are nonzero
+    for _ in range(2):
+        state, metrics = step(state, batch, jnp.float32(1.0))
+        assert not bool(metrics["skipped"])
     bad = dict(batch)
     bad["wav"] = batch["wav"].at[0, 0].set(jnp.nan)
     new_state, metrics = step(state, bad, jnp.float32(1.0))
     assert bool(metrics["skipped"])
-    # params unchanged
-    p0 = jax.tree_util.tree_leaves(state.params)[0]
-    p1 = jax.tree_util.tree_leaves(new_state.params)[0]
-    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    for p0, p1 in zip(jax.tree_util.tree_leaves(state.params),
+                      jax.tree_util.tree_leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    for o0, o1 in zip(jax.tree_util.tree_leaves(state.opt_state),
+                      jax.tree_util.tree_leaves(new_state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+    for s0, s1 in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                      jax.tree_util.tree_leaves(new_state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
+def test_train_step_use_ss_false_takes_seq_path():
+    """With use_ss=False the transformer step must take the one-pass
+    teacher-forcing path: the traced ss_ratio is ignored and the loss
+    matches a fully-teacher-forced step (base.py:131-136)."""
+    model, state, batch = _setup_train("transformer")
+    loss_fn = masked_token_loss("label_smoothing", 0.1)
+    tx = make_optimizer(1e-3, exponential_decay_with_warmup(1e-3, 1e-5, 100, 5))
+    step_fast = make_train_step(model, loss_fn, tx, donate=False,
+                                use_ss=False)
+    step_ss = make_train_step(model, loss_fn, tx, donate=False, use_ss=True)
+    _, m_fast = step_fast(state, batch, jnp.float32(0.3))  # ratio ignored
+    _, m_tf = step_ss(state, batch, jnp.float32(1.0))
+    np.testing.assert_allclose(float(m_fast["loss"]), float(m_tf["loss"]),
+                               rtol=1e-5)
+    # and the fast path compiles a much smaller program (one decoder
+    # pass instead of L unrolled prefix recomputes)
+    hlo_fast = step_fast.lower(state, batch, jnp.float32(0.3))
+    hlo_ss = step_ss.lower(state, batch, jnp.float32(1.0))
+    assert len(hlo_fast.as_text()) < len(hlo_ss.as_text())
