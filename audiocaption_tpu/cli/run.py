@@ -227,7 +227,7 @@ class Runner:
         not_improve = 0
         early_stop = trainer_cfg.get("early_stop", 10)
         log = _make_logger(exp_dir / "train.log")
-        tb = _make_tb_writer(exp_dir)
+        tb = _make_tb_writer(exp_dir, cfg)
 
         # resume (base.py:246-264): "finetune" restores weights only,
         # full resume also restores epoch/monitor/early-stop counters
@@ -600,8 +600,17 @@ class Runner:
         return str(exp_dir)
 
     def _init_variables(self, model: Captioner, cfg: Dict, seed: int):
-        sr = model.mel.sample_rate
-        wav = jnp.zeros((1, sr))
+        if model.input_mode == "features":
+            # precomputed-feature models need the feature dim to shape
+            # the init input (encoder.args.input_dim in the config)
+            dim = cfg["model"]["encoder"].get("args", {}).get(
+                "input_dim", 512)
+            wav = jnp.zeros((1, 8, dim))
+            wav_len = jnp.asarray([8])
+        else:
+            sr = model.mel.sample_rate
+            wav = jnp.zeros((1, sr))
+            wav_len = jnp.asarray([sr])
         cap = jnp.ones((1, 4), jnp.int32)
         kwargs = {}
         if "Temporal" in type(model.decoder).__name__:
@@ -610,7 +619,7 @@ class Runner:
             {"params": jax.random.PRNGKey(seed),
              "sample": jax.random.PRNGKey(seed + 1),
              "dropout": jax.random.PRNGKey(seed + 2)},
-            wav, jnp.asarray([sr]), cap, jnp.asarray([4]), train=False,
+            wav, wav_len, cap, jnp.asarray([4]), train=False,
             **kwargs)
 
     # ------------------------------------------------------ decode/eval --
@@ -836,10 +845,32 @@ def _pad_to_devices(batch: Dict, n: int) -> Dict:
     return out
 
 
-def _make_tb_writer(exp_dir: Path):
-    """TensorBoard writer (run.py:232-239 config-switched logging);
-    wandb is used instead when a 'wandb' config block asks for it and
-    the package is importable."""
+class _WandbWriter:
+    """add_scalar-compatible shim over wandb (run.py:232-239)."""
+
+    def __init__(self, run):
+        self.run = run
+
+    def add_scalar(self, tag: str, value, step: int):
+        self.run.log({tag: value}, step=step)
+
+
+def _make_tb_writer(exp_dir: Path, cfg: Optional[Dict] = None):
+    """Config-switched logging (run.py:232-239): a ``wandb`` config
+    block selects wandb when the package is importable; TensorBoard
+    otherwise."""
+    wandb_cfg = (cfg or {}).get("wandb")
+    if wandb_cfg:
+        try:
+            import wandb
+            run = wandb.init(
+                project=wandb_cfg.get("project", "audiocaption_tpu"),
+                name=wandb_cfg.get("name"), dir=str(exp_dir),
+                config=cfg, mode=wandb_cfg.get("mode", "offline"))
+            return _WandbWriter(run)
+        except Exception as e:
+            print(f"wandb unavailable ({type(e).__name__}); "
+                  f"falling back to TensorBoard", flush=True)
     try:
         from torch.utils.tensorboard import SummaryWriter
         return SummaryWriter(str(exp_dir / "tb"))

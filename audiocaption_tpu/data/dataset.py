@@ -159,7 +159,6 @@ class CaptionDataset(InferenceDataset):
         with open(caption) as f:
             data = json.load(f)
         self.items: List[Dict] = []
-        text_key = "tokens" if not zh else "tokens"
         for audio in data["audios"]:
             aid = audio["audio_id"]
             if aid not in self.aid_to_h5:

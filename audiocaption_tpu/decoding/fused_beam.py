@@ -43,7 +43,7 @@ from audiocaption_tpu.decoding.fused_greedy import (
 from audiocaption_tpu.models.captioner import Captioner
 from audiocaption_tpu.models.transformer_decoder import TransformerDecoder
 
-NEG = jnp.float32(-3.0e38)          # engine NEG_INF (finfo.min) stand-in
+NEG = -3.0e38                       # engine NEG_INF (finfo.min) stand-in
 
 
 def _ln(x, ln):
@@ -53,17 +53,24 @@ def _ln(x, ln):
 
 
 def _mha_lanes(q, kcache, vcache, valid, nhead):
-    """q: [N, H*HPAD]; kcache/vcache: [T, N, H*HPAD]; valid: [T, N]."""
+    """q: [N, H*HPAD]; kcache/vcache: [T, N, H*HPAD]; valid: [T, N].
+
+    NOTE: slice-then-expand (`q[:, sl][None]`, never `q[None, :, sl]`):
+    mixing None with a slice sends jnp indexing down the gather path,
+    which Mosaic cannot lower."""
     ctxs = []
     neg = jnp.float32(-1e30)
     for h in range(nhead):
         sl = slice(h * HPAD, (h + 1) * HPAD)
-        scores = jnp.sum(q[None, :, sl] * kcache[:, :, sl], axis=-1)
+        qh = q[:, sl]
+        kh = kcache[:, :, sl]
+        vh = vcache[:, :, sl]
+        scores = jnp.sum(qh[None] * kh, axis=-1)
         scores = jnp.where(valid, scores, neg)
         m = jnp.max(scores, axis=0, keepdims=True)
         e = jnp.exp(scores - m)
         attn = e / jnp.sum(e, axis=0, keepdims=True)
-        ctxs.append(jnp.sum(attn[:, :, None] * vcache[:, :, sl], axis=0))
+        ctxs.append(jnp.sum(attn[:, :, None] * vh, axis=0))
     return jnp.concatenate(ctxs, axis=-1)
 
 
@@ -165,6 +172,9 @@ def _make_beam_kernel(nlayers: int, nhead: int, L: int, K: int, B: int,
             lp = logits - m - jnp.log(
                 jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
 
+            # NOTE all small per-sample vectors are kept 2-D [B, 1]
+            # (Mosaic has no stable lowering for 1-D intermediates).
+
             # total scores per beam: [B, v_pad] each
             totals = []
             for kb in range(K):
@@ -177,10 +187,13 @@ def _make_beam_kernel(nlayers: int, nhead: int, L: int, K: int, B: int,
 
             # hierarchical top-K over the virtual [K*V] axis
             new_lp_l, prev_beam_l, new_word_l = [], [], []
+            lane_b = jax.lax.broadcasted_iota(jnp.int32, (B, v_pad), 1)
             for _sel in range(K):
-                per_max = [jnp.max(tk, axis=-1) for tk in totals]   # [B]
-                per_arg = [jnp.argmax(tk, axis=-1).astype(jnp.int32)
-                           for tk in totals]
+                per_max = [jnp.max(tk, axis=-1, keepdims=True)
+                           for tk in totals]                  # [B, 1]
+                per_arg = [jnp.argmax(tk, axis=-1,
+                                      keepdims=True).astype(jnp.int32)
+                           for tk in totals]                  # [B, 1]
                 best = per_max[0]
                 best_beam = jnp.zeros_like(per_arg[0])
                 best_word = per_arg[0]
@@ -193,74 +206,81 @@ def _make_beam_kernel(nlayers: int, nhead: int, L: int, K: int, B: int,
                 prev_beam_l.append(best_beam)
                 new_word_l.append(best_word)
                 # mask the picked entry out
-                lane_b = jax.lax.broadcasted_iota(
-                    jnp.int32, (B, v_pad), 1)
                 for j in range(K):
-                    hit = (best_beam == j)[:, None] & \
-                        (lane_b == best_word[:, None])
+                    hit = (best_beam == j) & (lane_b == best_word)
                     totals[j] = jnp.where(hit, NEG, totals[j])
 
+            # [B, 1] -> [1, B] row masks for the gathers below
+            pb_row = [jnp.transpose(pb, (1, 0)) for pb in prev_beam_l]
+            word_row = [jnp.transpose(w, (1, 0)) for w in new_word_l]
+
             # ---- parent-beam gather (K^2 masked selects) ----
-            def gather_rows(read_slice):
-                """read_slice(j) -> [..., B, ...] slice of source beam j;
-                returns list over target beams of gathered values."""
+            def gather_rows(read_slice, extra_dim):
+                """read_slice(j): [L, B] or [L, B, HP] source-beam slice;
+                returns per-target-beam gathered values.  Masks are cast
+                to f32 BEFORE any rank change: Mosaic cannot reshape i1
+                vectors ([1,B] bool -> [1,B,1] fails to lower)."""
                 outs = []
                 for kt in range(K):
-                    pb = prev_beam_l[kt]                  # [B] i32
                     acc = read_slice(0)
-                    bshape = [1] * acc.ndim
-                    baxis = 1 if acc.ndim >= 2 else 0
                     for j in range(1, K):
-                        m_ = (pb == j)
-                        shape = list(bshape)
-                        shape[baxis] = B
-                        mj = m_.reshape(shape) if acc.ndim > 1 else m_
+                        mjf = (pb_row[kt] == j).astype(jnp.float32)
+                        if extra_dim:
+                            mj = mjf[:, :, None] > 0.5    # [1, B, 1]
+                        else:
+                            mj = mjf > 0.5                # [1, B]
                         acc = jnp.where(mj, read_slice(j), acc)
                     outs.append(acc)
                 return outs
 
-            # seq: gather prefix then append the new word at t
-            new_seqs = gather_rows(lambda j: seq_ref[:, bsl(j)])
+            # seq: gather prefix then append the new word at t.  The
+            # row-t write covers ALL lanes at once — a dynamic-sublane
+            # store to a partial lane slice is "dynamic store with
+            # unaligned indices" in Mosaic.
+            new_seqs = gather_rows(lambda j: seq_ref[:, bsl(j)], False)
             for kt in range(K):
                 seq_ref[:, bsl(kt)] = new_seqs[kt]
-                seq_ref[pl.ds(t, 1), bsl(kt)] = \
-                    new_word_l[kt][None, :]
+            seq_ref[pl.ds(t, 1), :] = jnp.concatenate(word_row, axis=1)
             # pad flags
-            new_pads = gather_rows(lambda j: pad_flag[:, bsl(j)])
+            new_pads = gather_rows(lambda j: pad_flag[:, bsl(j)], False)
             for kt in range(K):
                 pad_flag[:, bsl(kt)] = new_pads[kt]
             # self-attention caches
             for i in range(nlayers):
                 for ref in (self_k[i], self_v[i]):
-                    new_cs = gather_rows(lambda j: ref[:, bsl(j), :])
+                    new_cs = gather_rows(lambda j: ref[:, bsl(j), :],
+                                         True)
                     for kt in range(K):
                         ref[:, bsl(kt), :] = new_cs[kt]
 
             # ---- done-beam harvest (engine _merge_done semantics) ----
-            new_lp = jnp.stack(new_lp_l, axis=0)          # [K, B]
-            new_word = jnp.stack(new_word_l, axis=0)      # [K, B]
-            is_end = (new_word == eos) | jnp.full(
-                (K, B), t == L - 1)
-            harvest = is_end & (stopped[0:1, :] < 0.5)
+            last_t = jnp.equal(t, L - 1)
             inv_len = 1.0 / (t + 1).astype(jnp.float32)
-            cand_score = jnp.where(harvest, new_lp * inv_len, NEG)
+            stopped_col = jnp.transpose(stopped, (1, 0))   # [B, 1]
+            is_end_l, cand_l = [], []
+            for kt in range(K):
+                ie = (new_word_l[kt] == eos) | last_t      # [B, 1]
+                hv = ie & (stopped_col < 0.5)
+                is_end_l.append(ie)
+                cand_l.append(jnp.where(hv, new_lp_l[kt] * inv_len, NEG))
 
-            # stable top-K over [old done (K) || candidates (K)]
-            srcs = [out_score[s:s + 1, :][0] for s in range(K)] + \
-                   [cand_score[s] for s in range(K)]
-            chosen = [jnp.zeros((B,), bool) for _ in range(2 * K)]
+            # stable top-K over [old done (K) || candidates (K)];
+            # all score vectors in [B, 1] column form
+            srcs = [jnp.transpose(out_score[s:s + 1, :], (1, 0))
+                    for s in range(K)] + cand_l
+            chosen = [jnp.zeros((B, 1), bool) for _ in range(2 * K)]
             slot_best_src = []
             slot_best_score = []
             for _slot in range(K):
-                best = jnp.full((B,), NEG)
-                best_src = jnp.zeros((B,), jnp.int32)
+                best = jnp.full((B, 1), NEG)
+                best_src = jnp.zeros((B, 1), jnp.int32)
                 for si in range(2 * K):
                     cand = jnp.where(chosen[si], NEG, srcs[si])
                     better = cand > best
                     best = jnp.where(better, cand, best)
                     best_src = jnp.where(better, si, best_src)
-                slot_best_src.append(best_src)
-                slot_best_score.append(best)
+                slot_best_src.append(jnp.transpose(best_src, (1, 0)))
+                slot_best_score.append(jnp.transpose(best, (1, 0)))
                 for si in range(2 * K):
                     chosen[si] = chosen[si] | (best_src == si)
 
@@ -272,29 +292,31 @@ def _make_beam_kernel(nlayers: int, nhead: int, L: int, K: int, B: int,
 
             new_done_seqs = []
             for slot in range(K):
-                src_id = slot_best_src[slot]              # [B]
+                src_id = slot_best_src[slot]               # [1, B]
                 acc = done_src_seq(0)
                 for si in range(1, 2 * K):
-                    acc = jnp.where((src_id == si)[None, :],
-                                    done_src_seq(si), acc)
+                    acc = jnp.where(src_id == si, done_src_seq(si), acc)
                 new_done_seqs.append(acc)
             for slot in range(K):
                 out_seq[:, bsl(slot)] = new_done_seqs[slot]
-                out_score[slot:slot + 1, :] = \
-                    slot_best_score[slot][None, :]
+                out_score[slot:slot + 1, :] = slot_best_score[slot]
 
-            done_count = done_count + jnp.sum(
-                harvest.astype(jnp.float32), axis=0, keepdims=True)
+            n_harvest = sum(
+                (cand_l[kt] > NEG / 2).astype(jnp.float32)
+                for kt in range(K))                        # [B, 1]
+            done_count = done_count + jnp.transpose(n_harvest, (1, 0))
             stopped = jnp.maximum(
                 stopped, (done_count >= K).astype(jnp.float32))
-            new_lp = jnp.where(is_end, new_lp - 1000.0, new_lp)
 
-            # next input word, beam-major rows
-            word_next = jnp.concatenate(
-                [new_word[kt][:, None] for kt in range(K)], axis=0)
-            # pad topk_lp back out to the stored sublane count
+            # next input word (beam-major rows) + next beam scores
+            word_next = jnp.concatenate(new_word_l, axis=0)  # [K*B, 1]
+            lp_rows = []
+            for kt in range(K):
+                nl = jnp.where(is_end_l[kt], new_lp_l[kt] - 1000.0,
+                               new_lp_l[kt])
+                lp_rows.append(jnp.transpose(nl, (1, 0)))
             topk_pad = jnp.concatenate(
-                [new_lp, jnp.zeros((topk_lp.shape[0] - K, B))], axis=0)
+                lp_rows + [jnp.zeros((topk_lp.shape[0] - K, B))], axis=0)
             return (word_next, topk_pad, done_count, stopped)
 
         for i in range(nlayers):

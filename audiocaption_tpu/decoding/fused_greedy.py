@@ -142,7 +142,9 @@ def _mha_lanes(q, kcache, vcache, valid, nhead):
     """Per-head lane-block attention.
 
     q: [B, H*HPAD]; kcache/vcache: [T, B, H*HPAD]; valid: [T, B] bool.
-    -> ctx [B, H*HPAD]."""
+    -> ctx [B, H*HPAD].  Slice-then-expand only: mixing None with a
+    slice in one indexing expression sends jnp down the gather path,
+    which Mosaic cannot lower."""
     T = kcache.shape[0]
     ctxs = []
     neg = jnp.float32(-1e30)
@@ -151,7 +153,7 @@ def _mha_lanes(q, kcache, vcache, valid, nhead):
         qh = q[:, sl]                                 # [B, HPAD]
         kh = kcache[:, :, sl]                         # [T, B, HPAD]
         vh = vcache[:, :, sl]
-        scores = jnp.sum(qh[None, :, :] * kh, axis=-1)    # [T, B]
+        scores = jnp.sum(qh[None] * kh, axis=-1)          # [T, B]
         scores = jnp.where(valid, scores, neg)
         m = jnp.max(scores, axis=0, keepdims=True)
         e = jnp.exp(scores - m)

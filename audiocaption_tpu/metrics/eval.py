@@ -54,6 +54,7 @@ def evaluate_captions(key2pred: Dict[str, List[str]],
     cider = CiderD()
     result["cider"], cider_scores = cider.compute_score(key2refs, key2pred)
 
+    skipped: List[str] = []
     if use_java:
         try:
             from pycocoevalcap.meteor.meteor import Meteor
@@ -63,8 +64,10 @@ def evaluate_captions(key2pred: Dict[str, List[str]],
             s, _ = Spice().compute_score(key2refs, key2pred)
             result["spice"] = s
             result["spider"] = (result["cider"] + result["spice"]) / 2
-        except Exception:
-            pass
+        except Exception as e:
+            skipped.append(f"meteor/spice/spider ({type(e).__name__})")
+    else:
+        skipped.append("meteor/spice/spider (no java/pycocoevalcap)")
 
     try:
         from fense.evaluator import Evaluator
@@ -73,10 +76,19 @@ def evaluate_captions(key2pred: Dict[str, List[str]],
         keys = list(key2pred.keys())
         preds = [key2pred[k][0] for k in keys]
         refs = [key2refs[k] for k in keys]
-        result["fense"] = float(
-            sum(fense_eval.corpus_score(preds, refs, agg_score="mean")))
-    except Exception:
-        pass
+        fense_score = fense_eval.corpus_score(preds, refs,
+                                              agg_score="mean")
+        result["fense"] = float(fense_score)
+    except Exception as e:
+        skipped.append(f"fense ({type(e).__name__})")
+
+    # Never silently drop scorers: BASELINE's quality target is SPIDEr
+    # parity, so a result without it must say so loudly.
+    if skipped:
+        import sys
+        result["skipped_scorers"] = skipped
+        print(f"[metrics] skipped scorers: {', '.join(skipped)}",
+              file=sys.stderr)
 
     if per_audio:
         result["per_audio"] = {

@@ -40,11 +40,22 @@ Array = jnp.ndarray
 
 
 class Captioner(nn.Module):
-    """Waveform -> caption model."""
+    """Waveform -> caption model.
+
+    ``input_mode`` selects what the first positional input is:
+      * "mel"      — waveform; the shared log-mel frontend runs first
+                     (the reference's waveform models, cnn_encoder.py);
+      * "features" — precomputed attn features [B, T, D] (the
+                     reference's attn/attn_len input contract,
+                     base.py:48-61; RnnEncoder / TransformerEncoder);
+      * "raw_wav"  — waveform fed straight to an encoder with its own
+                     frontend (ESResNeXtFBSP's learned filterbank).
+    """
     encoder: nn.Module
     decoder: nn.Module
     mel: MelConfig
     special: SpecialTokens = SpecialTokens()
+    input_mode: str = "mel"
 
     @property
     def is_transformer(self) -> bool:
@@ -62,6 +73,8 @@ class Captioner(nn.Module):
 
     def encode(self, wav: Array, wav_len: Array, train: bool = False,
                specaug: bool = False) -> Dict[str, Array]:
+        if self.input_mode != "mel":
+            return self.encoder(wav, wav_len, train=train)
         lms, feat_len = self.frontend(wav, wav_len, train, specaug)
         return self.encoder(lms, feat_len, train=train)
 
@@ -77,29 +90,39 @@ class Captioner(nn.Module):
     def __call__(self, wav: Array, wav_len: Array, cap: Array,
                  cap_len: Array, ss_ratio: float = 1.0, train: bool = True,
                  specaug: bool = False,
-                 temporal_tag: Optional[Array] = None) -> Dict[str, Array]:
+                 temporal_tag: Optional[Array] = None,
+                 cond_kwargs: Optional[Dict[str, Array]] = None
+                 ) -> Dict[str, Array]:
         """Training forward.  ``ss_ratio`` must be a static python float
         when 1.0 is meant to select the parallel teacher-forcing path
-        (train_forward switch, base.py:131-136)."""
+        (train_forward switch, base.py:131-136).  ``cond_kwargs`` carries
+        per-sample conditioning into the decoder (condition / style /
+        structure / specificity for the BahAttn variants, event / keyword
+        for the conditioned transformer decoders)."""
         enc = self.encode(wav, wav_len, train=train, specaug=specaug)
+        cond = dict(cond_kwargs or {})
+        if temporal_tag is not None:
+            cond["temporal_tag"] = temporal_tag
         full_teacher = isinstance(ss_ratio, float) and ss_ratio == 1.0
         if self.is_transformer and full_teacher:
-            out = self._seq_forward(enc, cap, train)
+            out = self._seq_forward(enc, cap, train, cond)
         elif self.is_transformer:
             out = self._ss_forward_transformer(enc, cap, ss_ratio, train)
         else:
-            out = self._ss_forward_rnn(enc, cap, ss_ratio, train,
-                                       temporal_tag)
+            out = self._ss_forward_rnn(enc, cap, ss_ratio, train, cond)
         out.update(enc)
         return out
 
     def _seq_forward(self, enc: Dict[str, Array], cap: Array,
-                     train: bool) -> Dict[str, Array]:
+                     train: bool,
+                     cond: Optional[Dict[str, Array]] = None
+                     ) -> Dict[str, Array]:
         """Full teacher forcing (transformer_model.py:20-32)."""
         word = cap[:, :-1]
         cap_padding_mask = word == self.special.pad
         return self.decoder(word, enc["attn_emb"], enc["attn_emb_len"],
-                            cap_padding_mask=cap_padding_mask, train=train)
+                            cap_padding_mask=cap_padding_mask, train=train,
+                            **(cond or {}))
 
     def _ss_coin(self, ss_ratio) -> Array:
         """Whole-batch per-step teacher/model coin, mirroring the
@@ -139,18 +162,16 @@ class Captioner(nn.Module):
 
     def _ss_forward_rnn(self, enc: Dict[str, Array], cap: Array,
                         ss_ratio, train: bool,
-                        temporal_tag: Optional[Array]) -> Dict[str, Array]:
+                        cond: Optional[Dict[str, Array]] = None
+                        ) -> Dict[str, Array]:
         """RNN decoders always run step-wise, in train too
         (attn_model.py:22-60): input word at t is the teacher word
         cap[:, t] with prob ss_ratio, else the previous sampled word."""
         B, Lc = cap.shape
         max_length = Lc - 1
-        kwargs = {}
-        if temporal_tag is not None:
-            kwargs["temporal_tag"] = temporal_tag
         static, dyn = self.decoder.init_cache(
             enc["attn_emb"], enc["attn_emb_len"], enc["fc_emb"], max_length,
-            **kwargs)
+            **(cond or {}))
         prev_word = jnp.full((B,), self.special.bos, jnp.int32)
         logits, embeds, seqs, lps = [], [], [], []
         for t in range(max_length):

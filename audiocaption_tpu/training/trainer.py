@@ -122,6 +122,21 @@ def make_train_step(model,
             kwargs = {}
             if "temporal_tag" in batch:
                 kwargs["temporal_tag"] = batch["temporal_tag"]
+            # per-sample conditioning for the conditioned decoder
+            # variants (condition/style/structure/specificity for
+            # BahAttn*, event/keyword probs for the transformer
+            # variants) — the reference feeds these through input_dict
+            # (attn_model.py:191-289, transformer_model.py:166-264)
+            # "condition" also carries the scalar specificity value
+            # (the reference's condition datasets emit one "condition"
+            # key for both, condition_dataset.py:70-144)
+            cond = {k: batch[k] for k in
+                    ("condition", "style", "structure", "event")
+                    if k in batch}
+            if "keyword" in batch:     # keyword probs ride the event slot
+                cond["event"] = batch["keyword"]
+            if cond:
+                kwargs["cond_kwargs"] = cond
             out, updates = model.apply(
                 variables, batch["wav"], batch["wav_len"], batch["cap"],
                 batch["cap_len"], ss_ratio=ss_ratio if use_ss else 1.0,

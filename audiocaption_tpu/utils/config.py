@@ -95,6 +95,7 @@ def build_model_from_config(model_cfg: Dict,
     enc_args = dict(enc_cfg.get("args", {}) or {})
     sample_rate = 32000
     mel = CNN14_MEL_32K
+    input_mode = "mel"
 
     if enc_type in ("CrnnEncoder", "Cnn14RnnEncoder"):
         cnn_cfg = enc_cfg.get("cnn", {})
@@ -151,7 +152,7 @@ def build_model_from_config(model_cfg: Dict,
         if enc_cfg.get("pretrained"):
             pretrained.append(("encoder", enc_cfg["pretrained"], "htsat"))
     elif enc_type in ("Cnn6Encoder", "Cnn10Encoder", "MobileNetV2",
-                      "MobileNetV2Encoder", "Cdur5Encoder",
+                      "MobileNetV2Encoder", "Cdur5Encoder", "Cdur8Encoder",
                       "Cnn14TransformerEncoder"):
         from audiocaption_tpu.models.encoders_extra import (
             Cdur5Encoder, Cnn6Encoder, Cnn10Encoder,
@@ -166,6 +167,9 @@ def build_model_from_config(model_cfg: Dict,
             encoder, enc_out_dim = MobileNetV2Encoder(), 1280
         elif enc_type == "Cdur5Encoder":
             encoder, enc_out_dim = Cdur5Encoder(), 256
+        elif enc_type == "Cdur8Encoder":
+            from audiocaption_tpu.models.encoders_extra import Cdur8Encoder
+            encoder, enc_out_dim = Cdur8Encoder(), 512
         else:
             trm_cfg = enc_cfg.get("transformer", {}).get("args", {}) or {}
             d_model = trm_cfg.get("d_model", 512)
@@ -180,6 +184,63 @@ def build_model_from_config(model_cfg: Dict,
             if cnn_cfg.get("pretrained"):
                 pretrained.append(("encoder/cnn", cnn_cfg["pretrained"],
                                    "cnn14"))
+    elif enc_type in ("UiT", "UitEncoder") or enc_type.startswith("uit_"):
+        from audiocaption_tpu.models.uit import (
+            UIT_MEL_16K, UIT_VARIANTS, UitEncoder)
+        variant = enc_args.get("model_name",
+                               enc_type if enc_type.startswith("uit_")
+                               else "uit_xs")
+        trunk = UIT_VARIANTS[variant](
+            outputdim=enc_args.get("outputdim", 537),
+            target_length=enc_args.get("target_length", 1008))
+        encoder = UitEncoder(trunk=trunk)
+        mel = UIT_MEL_16K
+        sample_rate = 16000
+        enc_out_dim = trunk.embed_dim
+        if enc_cfg.get("pretrained"):
+            pretrained.append(("encoder", enc_cfg["pretrained"], "uit"))
+    elif enc_type in ("ESResNeXtFBSP", "ESResNeXtFBSPEncoder"):
+        from audiocaption_tpu.models.resnext import (
+            ESResNeXtFBSP, ESResNeXtFBSPEncoder)
+        fbsp = ESResNeXtFBSP(
+            n_fft=enc_args.get("n_fft", 2048),
+            hop_length=enc_args.get("hop_length", 561),
+            win_length=enc_args.get("win_length", 1654),
+            window=enc_args.get("window", "blackmanharris"),
+            normalized=enc_args.get("normalized", True),
+            num_classes=enc_args.get("num_classes", 527),
+            apply_attention=enc_args.get("apply_attention", True))
+        encoder = ESResNeXtFBSPEncoder(fbsp_model=fbsp)
+        input_mode = "raw_wav"
+        sample_rate = enc_args.get("sample_rate", 44100)
+        enc_out_dim = 2048
+        if enc_cfg.get("pretrained"):
+            pretrained.append(("encoder/fbsp_model", enc_cfg["pretrained"],
+                               "esresnext"))
+    elif enc_type == "RnnEncoder":
+        # precomputed-feature input (the reference's attn/attn_len
+        # contract, rnn_encoder.py:10-49)
+        from audiocaption_tpu.models.rnn_encoder import RnnEncoder
+        encoder = RnnEncoder(
+            hidden_size=enc_args.get("hidden_size", 512),
+            bidirectional=enc_args.get("bidirectional", False),
+            num_layers=enc_args.get("num_layers", 1),
+            dropout=enc_args.get("dropout", 0.2),
+            pooling=enc_args.get("pooling", "mean"))
+        input_mode = "features"
+        enc_out_dim = (enc_args.get("hidden_size", 512) *
+                       (2 if enc_args.get("bidirectional", False) else 1))
+    elif enc_type in ("TransformerEncoder", "AudioTransformerEncoder"):
+        from audiocaption_tpu.models.encoders_extra import (
+            AudioTransformerEncoder)
+        encoder = AudioTransformerEncoder(
+            d_model=enc_args.get("d_model", 512),
+            nlayers=enc_args.get("nlayers", 2),
+            nhead=enc_args.get("nhead"),
+            dim_feedforward=enc_args.get("dim_feedforward"),
+            dropout=enc_args.get("dropout", 0.2))
+        input_mode = "features"
+        enc_out_dim = enc_args.get("d_model", 512)
     else:
         raise ValueError(f"unsupported encoder type: {enc_type}")
 
@@ -233,7 +294,7 @@ def build_model_from_config(model_cfg: Dict,
         pretrained.append(("decoder", dec_cfg["pretrained"], "decoder"))
 
     captioner = Captioner(encoder=encoder, decoder=decoder, mel=mel,
-                          special=SpecialTokens())
+                          special=SpecialTokens(), input_mode=input_mode)
     return captioner, pretrained
 
 
@@ -275,6 +336,14 @@ def load_pretrained_into(variables: Dict, spec: Tuple[str, str, str]
     elif kind == "htsat":
         from audiocaption_tpu.models.htsat import convert_htsat
         params, stats = convert_htsat(sd)
+    elif kind == "esresnext":
+        from audiocaption_tpu.models.resnext import convert_esresnext
+        params, stats = convert_esresnext(sd)
+    elif kind == "uit":
+        from audiocaption_tpu.models.uit import convert_uit
+        params, stats = convert_uit(sd)
+        params = {"trunk": params}
+        stats = {"trunk": stats}
     elif kind == "decoder":
         if next(iter(sd)).startswith("decoder."):
             sd = {k[len("decoder."):]: v for k, v in sd.items()

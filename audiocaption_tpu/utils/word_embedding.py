@@ -43,3 +43,89 @@ def install_word_embedding(decoder_params: Dict, embedding: np.ndarray
     out["word_embedding"] = {"embedding": np.asarray(embedding,
                                                      np.float32)}
     return out
+
+
+def train_word2vec(sentences, embed_size: int, window: int = 5,
+                   epochs: int = 10, negatives: int = 5,
+                   lr: float = 0.025, min_count: int = 1,
+                   batch_size: int = 4096, seed: int = 0
+                   ) -> Dict[str, np.ndarray]:
+    """Skip-gram with negative sampling, trained with one jitted JAX
+    step (replaces the reference's gensim Word2Vec,
+    word2vec/create_word_embedding.py: min_count 1, 10 epochs).
+
+    sentences: list of token lists -> {word: [embed_size] vector}.
+    Negatives are drawn from the unigram^0.75 distribution; the
+    in-embedding is returned (gensim's wv convention).
+    """
+    import jax
+    import jax.numpy as jnp
+    from collections import Counter
+
+    counter = Counter(w for s in sentences for w in s)
+    vocab = [w for w, c in counter.items() if c >= min_count]
+    word2idx = {w: i for i, w in enumerate(vocab)}
+    V = len(vocab)
+    if V == 0:
+        return {}
+
+    rng = np.random.RandomState(seed)
+    centers, contexts = [], []
+    for s in sentences:
+        ids = [word2idx[w] for w in s if w in word2idx]
+        for i, c in enumerate(ids):
+            lo = max(0, i - window)
+            hi = min(len(ids), i + window + 1)
+            for j in range(lo, hi):
+                if j != i:
+                    centers.append(c)
+                    contexts.append(ids[j])
+    if not centers:
+        return {w: rng.randn(embed_size).astype(np.float32)
+                for w in vocab}
+    centers = np.asarray(centers, np.int32)
+    contexts = np.asarray(contexts, np.int32)
+
+    freqs = np.asarray([counter[w] for w in vocab], np.float64) ** 0.75
+    neg_probs = jnp.asarray(freqs / freqs.sum(), jnp.float32)
+
+    w_in = jnp.asarray(
+        (rng.rand(V, embed_size) - 0.5) / embed_size, jnp.float32)
+    w_out = jnp.zeros((V, embed_size), jnp.float32)
+
+    def loss_fn(params, c_ids, o_ids, neg_ids):
+        win, wout = params
+        vc = win[c_ids]                          # [B, D]
+        vo = wout[o_ids]                         # [B, D]
+        vn = wout[neg_ids]                       # [B, N, D]
+        pos = jax.nn.log_sigmoid(jnp.sum(vc * vo, -1))
+        neg = jnp.sum(jax.nn.log_sigmoid(
+            -jnp.einsum("bd,bnd->bn", vc, vn)), -1)
+        return -jnp.mean(pos + neg)
+
+    @jax.jit
+    def step(params, key, c_ids, o_ids):
+        key, sub = jax.random.split(key)
+        neg_ids = jax.random.choice(
+            sub, V, (c_ids.shape[0], negatives), p=neg_probs)
+        loss, grads = jax.value_and_grad(loss_fn)(params, c_ids, o_ids,
+                                                  neg_ids)
+        params = jax.tree_util.tree_map(
+            lambda p, g: p - lr * g, params, grads)
+        return params, key, loss
+
+    params = (w_in, w_out)
+    key = jax.random.PRNGKey(seed)
+    n = len(centers)
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        for s0 in range(0, n, batch_size):
+            idx = order[s0:s0 + batch_size]
+            if len(idx) < batch_size:       # fixed shape under jit
+                idx = np.concatenate(
+                    [idx, rng.choice(n, batch_size - len(idx))])
+            params, key, _ = step(params, key,
+                                  jnp.asarray(centers[idx]),
+                                  jnp.asarray(contexts[idx]))
+    w_in = np.asarray(params[0])
+    return {w: w_in[i] for w, i in word2idx.items()}

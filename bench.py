@@ -115,6 +115,24 @@ def main():
         print(f"fused greedy failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # fused beam-3 kernel (the reference's DEFAULT decode, base.py:88-98,
+    # as one Pallas kernel; token-identical to the XLA engine)
+    try:
+        from audiocaption_tpu.decoding.fused_beam import FusedBeamDecoder
+        fb = FusedBeamDecoder(model, variables, max_length=20,
+                              beam_size=3, max_kernel_batch=64)
+        for B in (64, 128):
+            args = make_batch(B)
+            dt = _bench_fn(lambda w, l: fb(w, l), args)
+            cps = B / dt
+            print(f"fused-beam3 B={B}: {dt * 1e3:.1f} ms/batch, "
+                  f"{cps:.1f} clips/s", file=sys.stderr)
+            if cps > best:
+                best, best_cfg = cps, f"fused_beam3_b{B}"
+    except Exception as e:
+        print(f"fused beam failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # diagnostics
     try:
         args = make_batch(64)

@@ -1,0 +1,173 @@
+"""Offline data tooling (cli/data_tools.py) on synthetic corpora."""
+
+import json
+import pickle
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from audiocaption_tpu.cli import data_tools as DT
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    caps = [("aud0", ["a dog barks loudly", "dog barking sound"]),
+            ("aud1", ["water flows down a stream"]),
+            ("aud2", ["someone speaks quietly"]),
+            ("aud3", ["music plays softly"])]
+    audios = [{"audio_id": aid,
+               "captions": [{"caption": c, "tokens": c,
+                             "cap_id": str(i + 1)}
+                            for i, c in enumerate(cs)]}
+              for aid, cs in caps]
+    p = tmp_path / "text.json"
+    json.dump({"audios": audios}, open(p, "w"))
+    return tmp_path, p, audios
+
+
+def test_subset_concat(corpus, tmp_path):
+    root, p, audios = corpus
+    DT.subset_concat(str(p), str(p), str(tmp_path / "suba.json"),
+                     str(tmp_path / "all.json"), a_percent=0.5)
+    sub = json.load(open(tmp_path / "suba.json"))["audios"]
+    alls = json.load(open(tmp_path / "all.json"))["audios"]
+    assert len(sub) == 2 and len(alls) == 4
+
+
+def test_extract_specificity(corpus, tmp_path):
+    root, p, audios = corpus
+    wc = tmp_path / "word.tsv"
+    cc = tmp_path / "cap.tsv"
+    DT.extract_specificity(str(p), str(wc), str(cc))
+    lines = wc.read_text().strip().splitlines()
+    assert lines[0] == "word\tspecificity"
+    words = {l.split("\t")[0]: float(l.split("\t")[1])
+             for l in lines[1:]}
+    # "dog" appears twice -> lower specificity than "music" (once)
+    assert words["dog"] < words["music"]
+    cap_lines = cc.read_text().strip().splitlines()[1:]
+    assert len(cap_lines) == 5
+    assert cap_lines[0].startswith("aud0_1\t")
+
+
+def test_extract_keyword(corpus, tmp_path):
+    root, p, audios = corpus
+    out = tmp_path / "kw.tsv"
+    DT.extract_keyword(str(p), str(out))
+    lines = out.read_text().strip().splitlines()[1:]
+    kw = dict(l.split("\t") for l in lines)
+    assert "dog" in kw["aud0_1"] and "barks" in kw["aud0_1"]
+    assert "a" not in kw["aud0_1"].split("; ")
+
+
+def test_speed_perturb_compute(corpus, tmp_path):
+    import h5py
+    root, p, audios = corpus
+    sr = 8000
+    h5p = tmp_path / "wav.h5"
+    with h5py.File(h5p, "w") as f:
+        for a in audios:
+            f[a["audio_id"]] = np.random.RandomState(0).randn(
+                sr).astype(np.float32)
+    with open(tmp_path / "wav.csv", "w") as f:
+        f.write("audio_id\thdf5_path\n")
+        for a in audios:
+            f.write(f"{a['audio_id']}\t{h5p}\n")
+    out = tmp_path / "sp"
+    DT.speed_perturb(str(tmp_path), str(out), speeds=[0.9, 1.1],
+                     compute=True)
+    with h5py.File(out / "waveform_sp.h5", "r") as f:
+        slow = np.asarray(f["sp0.9-aud0"])
+        fast = np.asarray(f["sp1.1-aud0"])
+    assert abs(len(slow) - sr / 0.9) < 20
+    assert abs(len(fast) - sr / 1.1) < 20
+    text = json.load(open(out / "text.json"))["audios"]
+    assert len(text) == 4 + 8
+
+
+def test_text_similarity(corpus, tmp_path):
+    import h5py
+    root, p, audios = corpus
+    # embeddings: aud0_1 ~ aud2_1 near-identical, others orthogonal
+    emb = tmp_path / "emb.h5"
+    rng = np.random.RandomState(0)
+    base = {"aud0_1": np.array([1.0, 0, 0]),
+            "aud0_2": np.array([0, 1.0, 0]),
+            "aud1_1": np.array([0, 0, 1.0]),
+            "aud2_1": np.array([0.99, 0.02, 0]),
+            "aud3_1": np.array([0, 0.98, 0.1])}
+    with h5py.File(emb, "w") as f:
+        for k, v in base.items():
+            f[k] = v.astype(np.float32)
+    out = tmp_path / "aug.json"
+    DT.text_similarity(str(p), str(emb), str(out),
+                       thresholds=(0.9, 1.0))
+    data = {a["audio_id"]: a for a in json.load(open(out))["audios"]}
+    aug_caps = [c for c in data["aud0"]["captions"]
+                if "textaug" in str(c["cap_id"])]
+    assert len(aug_caps) >= 1
+    assert aug_caps[0]["caption"] == "someone speaks quietly"
+
+
+def test_predict_nrst_ngbr(corpus, tmp_path):
+    import h5py
+    root, p, audios = corpus
+    tr = tmp_path / "train_emb.h5"
+    pr = tmp_path / "pred_emb.h5"
+    with h5py.File(tr, "w") as f:
+        f["aud0"] = np.array([1.0, 0], np.float32)
+        f["aud1"] = np.array([0, 1.0], np.float32)
+    with h5py.File(pr, "w") as f:
+        f["new0"] = np.array([0.9, 0.1], np.float32)
+    out = tmp_path / "nn.json"
+    DT.predict_nrst_ngbr(str(tr), str(p), str(pr), str(out))
+    preds = json.load(open(out))["predictions"]
+    assert preds[0]["filename"] == "new0"
+    assert "dog" in preds[0]["tokens"]
+
+
+def test_model_eval_diff(corpus, tmp_path):
+    root, p, audios = corpus
+    preds = {"predictions": [
+        {"filename": a["audio_id"],
+         "tokens": a["captions"][0]["caption"]} for a in audios]}
+    pp = tmp_path / "pred.json"
+    json.dump(preds, open(pp, "w"))
+    out = tmp_path / "diff.txt"
+    DT.model_eval_diff(str(pp), str(p), str(out))
+    txt = out.read_text()
+    assert "cider" in txt and "bleu_4" in txt
+
+
+def test_train_word2vec_similarity():
+    """Co-occurring words end up closer than non-co-occurring ones."""
+    from audiocaption_tpu.utils.word_embedding import train_word2vec
+    rng = np.random.RandomState(0)
+    sentences = []
+    for _ in range(300):
+        sentences.append(["dog", "barks"] * 3)
+        sentences.append(["water", "flows"] * 3)
+    vecs = train_word2vec(sentences, 16, window=2, epochs=8, seed=0)
+    def cos(a, b):
+        return float(np.dot(a, b) /
+                     (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos(vecs["dog"], vecs["barks"]) > cos(vecs["dog"],
+                                                 vecs["flows"])
+
+
+def test_create_word_embedding_cli(corpus, tmp_path):
+    from audiocaption_tpu.data import DictTokenizer
+    root, p, audios = corpus
+    tok = DictTokenizer()
+    for a in audios:
+        for c in a["captions"]:
+            for w in c["tokens"].split():
+                tok.add_word(w)
+    vp = tmp_path / "vocab.pkl"
+    pickle.dump(tok.state_dict(), open(vp, "wb"))
+    out = tmp_path / "emb.npy"
+    DT.create_word_embedding(str(vp), 8, str(out), caption_file=str(p),
+                             epochs=2)
+    emb = np.load(out)
+    assert emb.shape == (len(tok), 8)

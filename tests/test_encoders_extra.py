@@ -137,12 +137,28 @@ def test_mobilenet_v3_width_mapping():
 
 @pytest.mark.parametrize("variant", ["uit_xxxs", "uit_xs"])
 def test_uit_encoder(variant):
-    from audiocaption_tpu.models.uit import UiTEncoder
-    enc = UiTEncoder(variant=variant)
+    """UIT trunk adapted to the captioning encoder contract."""
+    from audiocaption_tpu.models.uit import (
+        UIT_VARIANTS, UitEncoder)
+    trunk = UIT_VARIANTS[variant](outputdim=537, target_length=496)
+    enc = UitEncoder(trunk=trunk)
     lms = jnp.zeros((2, 501, 64))
     fl = jnp.asarray([501, 300])
     v = enc.init(jax.random.PRNGKey(0), lms, fl)
     out = enc.apply(v, lms, fl)
-    assert out["attn_emb"].shape == (2, 62, enc.fc_emb_size)
+    assert out["attn_emb"].shape == (2, 496 // 16, 128)
     np.testing.assert_array_equal(np.asarray(out["attn_emb_len"]),
                                   [31, 18])
+    assert out["fc_emb"].shape == (2, 128)
+
+
+def test_uit_classifier_forward():
+    """UITBase tagger: waveform -> sigmoid class probs, with eval-time
+    chunking when the clip exceeds target_length (uit.py:468-492)."""
+    from audiocaption_tpu.models.uit import uit_xxxs
+    model = uit_xxxs(outputdim=10, target_length=102)
+    wav = jnp.zeros((2, 32000))           # 2 s -> 201 frames, 2 chunks
+    v = model.init(jax.random.PRNGKey(0), wav)
+    out = model.apply(v, wav)
+    assert out.shape == (2, 10)
+    assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0

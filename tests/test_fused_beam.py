@@ -1,0 +1,45 @@
+"""Fused beam-search kernel: interpret-mode token parity vs the XLA
+decoding engine (which is itself parity-tested against the reference's
+per-sample beam search in test_reference_parity.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from test_fused_greedy import _small_model
+
+
+@pytest.fixture()
+def interp(monkeypatch):
+    import audiocaption_tpu.decoding.fused_beam as FB
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(FB.pl, "pallas_call", patched)
+    FB._fused_beam_call._clear_cache()
+    yield FB
+    FB._fused_beam_call._clear_cache()
+
+
+@pytest.mark.slow
+def test_fused_beam_interpret_token_parity(interp):
+    from audiocaption_tpu.models.captioner import generate
+    model, variables = _small_model()
+    wav = jnp.asarray(np.random.RandomState(0).randn(3, 16000),
+                      jnp.float32)
+    lens = jnp.asarray([16000, 9000, 12000])
+    ref = generate(model, variables, wav, lens, sample_method="beam",
+                   beam_size=3, max_length=8, n_best=True, n_best_size=3)
+    fb = interp.FusedBeamDecoder(model, variables, max_length=8,
+                                 beam_size=3)
+    seq, score = fb(wav, lens, n_best=True)
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(ref["seq"]))
+    np.testing.assert_allclose(np.asarray(score),
+                               np.asarray(ref["score"]), atol=1e-4)
