@@ -157,6 +157,30 @@ class Runner:
         # host numpy (uncommitted) so the train step places them freely
         variables = jax.device_get(variables)
 
+        # structured filter pruning of the EffB2 encoder, applied after
+        # pretrained loading like the reference's get_pruned_model
+        # (eff_latent_encoder.py:209-349)
+        enc_args = (model_cfg.get("encoder", {}) or {}).get(
+            "args", {}) or {}
+        if enc_args.get("prune_ratio"):
+            from audiocaption_tpu.models.effb2 import (
+                EfficientNetB2, build_pruned_effb2)
+            assert isinstance(model.encoder, EfficientNetB2), \
+                "prune_ratio is only supported for EfficientNetB2"
+            pm, pp, ps = build_pruned_effb2(
+                variables["params"]["encoder"],
+                variables["batch_stats"]["encoder"],
+                enc_args["prune_ratio"],
+                prune_start_layer=enc_args.get("prune_start_layer", 0),
+                prune_se=enc_args.get("prune_se", True),
+                method=enc_args.get("prune_method", "operator_norm"),
+                prune_head=enc_args.get("prune_head", False))
+            model = model.clone(encoder=pm)
+            variables["params"] = dict(variables["params"])
+            variables["batch_stats"] = dict(variables["batch_stats"])
+            variables["params"]["encoder"] = pp
+            variables["batch_stats"]["encoder"] = ps
+
         # optimization
         trainer_cfg = cfg.get("trainer", {})
         epochs = trainer_cfg.get("epochs", 25)

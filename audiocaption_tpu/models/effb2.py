@@ -68,7 +68,10 @@ def tf_same_padding(image_size: int, kernel: int, stride: int
 
 
 class MBConvBlock(nn.Module):
-    """Inverted-residual block with SE, swish, drop-connect."""
+    """Inverted-residual block with SE, swish, drop-connect.
+
+    ``oup_override``/``squeeze_override`` let structurally pruned models
+    (build_pruned_effb2) set explicit internal channel counts."""
     in_filters: int
     out_filters: int
     kernel: int
@@ -77,6 +80,8 @@ class MBConvBlock(nn.Module):
     nominal_size: int
     drop_rate: float = 0.0
     compute_dtype: Any = jnp.float32
+    oup_override: Optional[int] = None
+    squeeze_override: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -84,7 +89,8 @@ class MBConvBlock(nn.Module):
         bn = lambda name: BatchNorm(momentum=0.99, epsilon=1e-3,
                                     compute_dtype=cd, name=name)
         inputs = x
-        oup = self.in_filters * self.expand_ratio
+        oup = (self.oup_override if self.oup_override is not None
+               else self.in_filters * self.expand_ratio)
         if self.expand_ratio != 1:
             x = Conv2dSame(oup, (1, 1), padding=0, compute_dtype=cd,
                            name="expand_conv")(x)
@@ -97,7 +103,9 @@ class MBConvBlock(nn.Module):
         x = nn.silu(bn("bn1")(x, train=train))
 
         # Squeeze-and-excitation (channels from *input* filters)
-        n_squeeze = max(1, int(self.in_filters * _SE_RATIO))
+        n_squeeze = (self.squeeze_override
+                     if self.squeeze_override is not None
+                     else max(1, int(self.in_filters * _SE_RATIO)))
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
         s = Conv2dSame(n_squeeze, (1, 1), padding=0, use_bias=True,
                        compute_dtype=cd, name="se_reduce")(s)
@@ -223,3 +231,188 @@ def convert_effb2(sd, prefix: str = "") -> Tuple[Dict, Dict]:
     params["conv_head"] = convert.conv2d(sd, k("_conv_head"))
     put_bn("bn1", "_bn1")
     return params, stats
+
+
+class PrunedEfficientNetB2(nn.Module):
+    """EfficientNet-B2 with explicit per-layer channel counts, produced
+    by ``build_pruned_effb2`` (reference get_pruned_model,
+    eff_latent_encoder.py:209-349)."""
+    stem_filters: int
+    head_filters: int
+    block_plan: Tuple[Dict, ...]     # dicts with MBConvBlock kwargs
+    drop_connect_rate: float = 0.2
+    compute_dtype: Any = jnp.float32
+    downsample_ratio: int = 32
+
+    @property
+    def fc_emb_size(self) -> int:
+        return self.head_filters
+
+    @nn.compact
+    def __call__(self, lms: Array, feat_len: Array,
+                 train: bool = False) -> Dict[str, Array]:
+        cd = self.compute_dtype
+        x = jnp.transpose(lms, (0, 2, 1))[..., None].astype(cd)
+        x = Conv2dSame(self.stem_filters, (3, 3), strides=(2, 2),
+                       padding=tf_same_padding(260, 3, 2),
+                       compute_dtype=cd, name="conv_stem")(x)
+        x = nn.silu(BatchNorm(momentum=0.99, epsilon=1e-3,
+                              compute_dtype=cd,
+                              name="bn0")(x, train=train))
+        n_blocks = len(self.block_plan)
+        for idx, args in enumerate(self.block_plan):
+            x = MBConvBlock(
+                compute_dtype=cd,
+                drop_rate=self.drop_connect_rate * idx / n_blocks,
+                name=f"block{idx}", **args)(x, train=train)
+        x = Conv2dSame(self.head_filters, (1, 1), padding=0,
+                       compute_dtype=cd, name="conv_head")(x)
+        x = nn.silu(BatchNorm(momentum=0.99, epsilon=1e-3,
+                              compute_dtype=cd,
+                              name="bn1")(x, train=train))
+        attn_emb = jnp.mean(x, axis=1).astype(jnp.float32)
+        out_len = feat_len // self.downsample_ratio
+        fc_emb = mean_with_lens(attn_emb, out_len)
+        return {"fc_emb": fc_emb, "attn_emb": attn_emb,
+                "attn_emb_len": out_len}
+
+
+def build_pruned_effb2(params: Dict, stats: Dict, prune_ratio: float,
+                       prune_start_layer: int = 0, prune_se: bool = True,
+                       method: str = "operator_norm",
+                       prune_head: bool = True
+                       ) -> Tuple["PrunedEfficientNetB2", Dict, Dict]:
+    """Structured filter pruning of a full EfficientNetB2 param tree
+    (reference get_pruned_model, eff_latent_encoder.py:209-349).
+
+    The dependency chain stem -> (expand -> depthwise -> se_reduce ->
+    se_expand -> project)* -> head is walked exactly like the
+    reference: every prunable conv keeps round(n*(1-ratio)) of its
+    output filters by the given criterion, the next conv's input
+    channels follow the previous conv's keep set, and depthwise convs
+    inherit the preceding conv's keep set.  Blocks before
+    ``prune_start_layer`` are untouched.  Returns the pruned module and
+    its (params, batch_stats).
+    """
+    import numpy as np
+    from audiocaption_tpu.utils.pruning import select_filters
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    stats = jax.tree_util.tree_map(np.asarray, stats)
+    plan = _b2_block_plan()
+    ratio = prune_ratio
+
+    def n_keep(n: int) -> int:
+        return max(1, int(round(n * (1.0 - ratio))))
+
+    new_p: Dict[str, Any] = {}
+    new_s: Dict[str, Any] = {}
+
+    def prune_out(conv_p, keep):
+        out = {"kernel": conv_p["kernel"][..., keep]}
+        if "bias" in conv_p:
+            out["bias"] = conv_p["bias"][keep]
+        return out
+
+    def prune_in(conv_p, keep):
+        out = dict(conv_p)
+        out["kernel"] = conv_p["kernel"][:, :, keep, :]
+        return out
+
+    def prune_bn(name, keep, src_p=None, src_s=None):
+        src_p = src_p if src_p is not None else params[name]
+        src_s = src_s if src_s is not None else stats[name]
+        return ({k: v[keep] for k, v in src_p.items()},
+                {k: v[keep] for k, v in src_s.items()})
+
+    # stem
+    stem_kernel = params["conv_stem"]["kernel"]
+    if prune_start_layer <= 0:
+        keep_prev = select_filters(stem_kernel, ratio, method)
+    else:
+        keep_prev = np.arange(stem_kernel.shape[-1])
+    new_p["conv_stem"] = prune_out(params["conv_stem"], keep_prev)
+    new_p["bn0"], new_s["bn0"] = prune_bn("bn0", keep_prev)
+    stem_filters = len(keep_prev)
+
+    block_plan = []
+    for idx, args in enumerate(plan):
+        bp = dict(params[f"block{idx}"])
+        bs = dict(stats[f"block{idx}"])
+        prune_this = idx >= max(prune_start_layer - 1, 0) if \
+            prune_start_layer > 0 else True
+        nb_p: Dict[str, Any] = {}
+        nb_s: Dict[str, Any] = {}
+        e = args["expand_ratio"]
+
+        if e != 1:
+            ek = prune_in(bp["expand_conv"], keep_prev)
+            if prune_this:
+                keep = select_filters(bp["expand_conv"]["kernel"], ratio,
+                                      method)
+            else:
+                keep = np.arange(bp["expand_conv"]["kernel"].shape[-1])
+            nb_p["expand_conv"] = prune_out(ek, keep)
+            nb_p["bn0"], nb_s["bn0"] = prune_bn(
+                None, keep, bp["bn0"], bs["bn0"])
+            keep_prev = keep
+        # depthwise inherits the previous conv's keep set
+        nb_p["depthwise_conv"] = {
+            "kernel": bp["depthwise_conv"]["kernel"][..., keep_prev]}
+        nb_p["bn1"], nb_s["bn1"] = prune_bn(
+            None, keep_prev, bp["bn1"], bs["bn1"])
+        oup = len(keep_prev)
+
+        # SE: reduce output pruned by its own ranking (when prune_se),
+        # expand output sized back to oup by its own ranking
+        se_r = prune_in(bp["se_reduce"], keep_prev)
+        if prune_se and prune_this:
+            keep_sq = select_filters(bp["se_reduce"]["kernel"], ratio,
+                                     method)
+        else:
+            keep_sq = np.arange(bp["se_reduce"]["kernel"].shape[-1])
+        nb_p["se_reduce"] = prune_out(se_r, keep_sq)
+        se_e = prune_in(bp["se_expand"], keep_sq)
+        if prune_this:
+            keep_se_out = select_filters(bp["se_expand"]["kernel"],
+                                         ratio, method)[:oup]
+        else:
+            keep_se_out = np.arange(oup)
+        nb_p["se_expand"] = prune_out(se_e, keep_se_out)
+
+        pk = prune_in(bp["project_conv"], keep_se_out)
+        if prune_this:
+            keep_out = select_filters(bp["project_conv"]["kernel"],
+                                      ratio, method)
+        else:
+            keep_out = np.arange(bp["project_conv"]["kernel"].shape[-1])
+        nb_p["project_conv"] = prune_out(pk, keep_out)
+        nb_p["bn2"], nb_s["bn2"] = prune_bn(
+            None, keep_out, bp["bn2"], bs["bn2"])
+
+        block_plan.append(dict(
+            in_filters=stem_filters if idx == 0 else block_plan[-1][
+                "out_filters"],
+            out_filters=len(keep_out), kernel=args["kernel"],
+            stride=args["stride"], expand_ratio=e,
+            nominal_size=args["nominal_size"],
+            oup_override=oup, squeeze_override=len(keep_sq)))
+        new_p[f"block{idx}"] = nb_p
+        new_s[f"block{idx}"] = nb_s
+        keep_prev = keep_out
+
+    hk = prune_in(params["conv_head"], keep_prev)
+    if prune_head:
+        keep_head = select_filters(params["conv_head"]["kernel"], ratio,
+                                   method)
+    else:
+        # keep the 1408-dim interface so a decoder built for the full
+        # encoder still fits
+        keep_head = np.arange(params["conv_head"]["kernel"].shape[-1])
+    new_p["conv_head"] = prune_out(hk, keep_head)
+    new_p["bn1"], new_s["bn1"] = prune_bn("bn1", keep_head)
+
+    model = PrunedEfficientNetB2(stem_filters=stem_filters,
+                                 head_filters=len(keep_head),
+                                 block_plan=tuple(block_plan))
+    return model, new_p, new_s

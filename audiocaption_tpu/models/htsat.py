@@ -213,9 +213,14 @@ class HtsatEncoder(nn.Module):
         dim = self.embed_dim
         for stage, (depth, heads) in enumerate(zip(self.depths,
                                                    self.num_heads)):
+            # Swin rule (htsat.py:410-414): when the resolution is not
+            # larger than the window there is a single window — shift
+            # is disabled and the window clamps to the resolution.
+            window = min(self.window, H, W)
             for blk in range(depth):
-                shift = 0 if blk % 2 == 0 else self.window // 2
-                x = SwinBlock(dim, heads, self.window, shift,
+                shift = (0 if blk % 2 == 0 or min(H, W) <= self.window
+                         else window // 2)
+                x = SwinBlock(dim, heads, window, shift,
                               self.mlp_ratio,
                               name=f"stage{stage}_block{blk}")(
                     x, (H, W), train=train)

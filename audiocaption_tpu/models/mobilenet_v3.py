@@ -177,3 +177,57 @@ class MobileNetV3Encoder(nn.Module):
             fc_emb = mean_with_lens(attn_emb, out_len)
         return {"fc_emb": fc_emb, "attn_emb": attn_emb,
                 "attn_emb_len": out_len}
+
+
+def convert_mobilenet_v3(sd, prefix: str = "") -> Tuple[Dict, Dict]:
+    """EfficientAT / torchvision MobileNetV3 state_dict -> (params,
+    batch_stats) for MobileNetV3Encoder.
+
+    torch layout (eff_at_encoder.py:247-465, torchvision style):
+      features.0.{0,1}                   stem conv + BN
+      features.{i}.block.{j}.{0,1}       ConvNormActivation conv + BN
+      features.{i}.block.{k}.conc_se_layers.0.{fc1,fc2}   SE linears
+      features.16.{0,1}                  last 1x1 conv + BN
+    The classifier head is not mapped (the captioning wrapper uses its
+    own poolings, cnn_encoder.py:703-766).
+    """
+    from audiocaption_tpu.models import convert
+
+    k = lambda n: f"{prefix}.{n}" if prefix else n
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def cna(tkey, conv_name, bn_name, tree, tree_s, depthwise=False):
+        tree[conv_name] = convert.conv2d(sd, f"{tkey}.0",
+                                         depthwise=depthwise)
+        p, s = convert.batchnorm(sd, f"{tkey}.1")
+        tree[bn_name] = p
+        tree_s[bn_name] = s
+
+    def se_linear_to_conv(tkey):
+        w = sd[f"{tkey}.weight"]                  # [out, in]
+        b = sd[f"{tkey}.bias"]
+        return {"kernel": w.T[None, None], "bias": b}
+
+    cna(k("features.0"), "stem", "bn_stem", params, stats)
+    for i, (ci, kk, ce, co, use_se, act, s) in enumerate(_V3_LARGE):
+        t = k(f"features.{i + 1}.block")
+        blk: Dict[str, Any] = {}
+        blk_s: Dict[str, Any] = {}
+        j = 0
+        if ce != ci:                              # expand present
+            cna(f"{t}.{j}", "expand", "bn_expand", blk, blk_s)
+            j += 1
+        cna(f"{t}.{j}", "depthwise", "bn_dw", blk, blk_s, depthwise=True)
+        j += 1
+        if use_se and f"{t}.{j}.conc_se_layers.0.fc1.weight" in sd:
+            blk["se_reduce"] = se_linear_to_conv(
+                f"{t}.{j}.conc_se_layers.0.fc1")
+            blk["se_expand"] = se_linear_to_conv(
+                f"{t}.{j}.conc_se_layers.0.fc2")
+            j += 1
+        cna(f"{t}.{j}", "project", "bn_proj", blk, blk_s)
+        params[f"block{i}"] = blk
+        stats[f"block{i}"] = blk_s
+    cna(k("features.16"), "lastconv", "bn_last", params, stats)
+    return params, stats
