@@ -304,6 +304,86 @@ def retrieve_similarity(annotation: str, sim_store: str, output: str,
         _dump_audios(data, output)
 
 
+def audio_similarity(ref_embedding: str, ref_caption: str,
+                     new_embedding: str, output: str,
+                     threshold: float = 0.95):
+    """Cross-corpus audio-similarity caption transfer (generalized
+    audio_similarity.py / audio_subset_similarity.py, whose reference
+    versions hardcode clotho/FSD50K cluster paths): every clip in
+    ``new_embedding`` whose nearest reference clip exceeds ``threshold``
+    inherits that clip's captions."""
+    import h5py
+    r_embs, r_ids = [], []
+    with h5py.File(ref_embedding, "r") as store:
+        for aid, emb in store.items():
+            r_embs.append(np.asarray(emb))
+            r_ids.append(aid)
+    n_embs, n_ids = [], []
+    with h5py.File(new_embedding, "r") as store:
+        for aid, emb in store.items():
+            n_embs.append(np.asarray(emb))
+            n_ids.append(aid)
+    aid_to_caps = {a["audio_id"]: a["captions"]
+                   for a in _load_audios(ref_caption)}
+    sim = _cosine(np.stack(n_embs), np.stack(r_embs))
+    out = []
+    for i, aid in enumerate(n_ids):
+        j = int(sim[i].argmax())
+        if sim[i][j] > threshold and r_ids[j] in aid_to_caps:
+            caps = []
+            for n, c in enumerate(aid_to_caps[r_ids[j]], 1):
+                cc = dict(c)
+                cc["cap_id"] = f"audioaug_{n}"
+                cc["similarity"] = f"{sim[i][j]:.3f}"
+                caps.append(cc)
+            out.append({"audio_id": aid, "captions": caps})
+    print(f"{len(out)} of {len(n_ids)} clips matched above {threshold}")
+    _dump_audios(out, output)
+
+
+def filter_new_audio_aug(wav_csv: str, generator_pred: str,
+                         event_generator_pred: str, retrieval_pred: str,
+                         output: str, blacklist: Optional[str] = None,
+                         min_sim: float = 0.5):
+    """Pseudo-caption selection for new audio (filter_new_audio_aug.py):
+    keep the best of {generator, event generator, retrieval} captions by
+    audio-text similarity, dropping clips below ``min_sim``."""
+    bl = set()
+    if blacklist:
+        bl = {line.strip() for line in open(blacklist) if line.strip()}
+    aids = []
+    with open(wav_csv) as f:
+        for line in f.readlines()[1:]:
+            aid = line.strip().split()[0]
+            if aid not in bl:
+                aids.append(aid)
+
+    def load_preds(path):
+        return {a["audio_id"]: a["captions"]
+                for a in _load_audios(path)}
+
+    g = load_preds(generator_pred)
+    eg = load_preds(event_generator_pred)
+    r = load_preds(retrieval_pred)
+    out = []
+    for aid in aids:
+        sim = float(g[aid][0]["at_sim"])
+        tokens = g[aid][0]["tokens"]
+        if float(eg[aid][0]["at_sim"]) > sim:
+            sim = float(eg[aid][0]["at_sim"])
+            tokens = eg[aid][0]["tokens"]
+        if aid in r and float(r[aid][0]["similarity"]) > sim:
+            sim = float(r[aid][0]["similarity"])
+            tokens = r[aid][0]["tokens"]
+        if sim >= min_sim:
+            item = dict(g[aid][0])
+            item["tokens"] = tokens
+            item["at_sim"] = sim
+            out.append({"audio_id": aid, "captions": [item]})
+    print(f"{len(out)} data left after filtering")
+    _dump_audios(out, output)
+
+
 # --------------------------------------------------------------------------
 # AudioCaption-Car corpus (prepare_car.py)
 # --------------------------------------------------------------------------
@@ -635,6 +715,22 @@ def main(argv=None):
     s.add_argument("--max_caption_aug", type=int, default=None)
     s.add_argument("--nearest", action="store_true")
     s.add_argument("--exclude_real", action="store_true")
+
+    s = sub.add_parser("audio_similarity")
+    s.add_argument("ref_embedding")
+    s.add_argument("ref_caption")
+    s.add_argument("new_embedding")
+    s.add_argument("output")
+    s.add_argument("--threshold", type=float, default=0.95)
+
+    s = sub.add_parser("filter_new_audio_aug")
+    s.add_argument("wav_csv")
+    s.add_argument("generator_pred")
+    s.add_argument("event_generator_pred")
+    s.add_argument("retrieval_pred")
+    s.add_argument("output")
+    s.add_argument("--blacklist", default=None)
+    s.add_argument("--min_sim", type=float, default=0.5)
 
     s = sub.add_parser("prepare_car")
     s.add_argument("target")

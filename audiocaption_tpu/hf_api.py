@@ -125,14 +125,23 @@ class Effb2TrmCaptioningModel:
     def _decode_fn(self, kwargs_key):
         if kwargs_key not in self._decode:
             sample_method, beam_size, max_length, temp = kwargs_key
-            if sample_method == "greedy" and \
-                    jax.devices()[0].platform != "cpu":
+            on_tpu = jax.devices()[0].platform != "cpu"
+            if sample_method == "greedy" and on_tpu:
                 # serve greedy through the fused whole-loop kernel
                 from audiocaption_tpu.decoding.fused_greedy import (
                     FusedGreedyDecoder)
                 fd = FusedGreedyDecoder(self.model, self.variables,
                                         max_length=max_length)
                 self._decode[kwargs_key] = lambda v, w, wl: fd(w, wl)
+            elif sample_method == "beam" and temp == 1.0 and on_tpu:
+                # the reference's default decode (beam 3, base.py:88-98)
+                # also gets the whole-loop kernel
+                from audiocaption_tpu.decoding.fused_beam import (
+                    FusedBeamDecoder)
+                fb = FusedBeamDecoder(self.model, self.variables,
+                                      max_length=max_length,
+                                      beam_size=beam_size)
+                self._decode[kwargs_key] = lambda v, w, wl: fb(w, wl)
             else:
                 @jax.jit
                 def fn(variables, wav, wav_len):

@@ -171,3 +171,47 @@ def test_create_word_embedding_cli(corpus, tmp_path):
                              epochs=2)
     emb = np.load(out)
     assert emb.shape == (len(tok), 8)
+
+
+def test_audio_similarity(corpus, tmp_path):
+    import h5py
+    root, p, audios = corpus
+    ref = tmp_path / "ref_emb.h5"
+    new = tmp_path / "new_emb.h5"
+    with h5py.File(ref, "w") as f:
+        f["aud0"] = np.array([1.0, 0], np.float32)
+        f["aud1"] = np.array([0, 1.0], np.float32)
+    with h5py.File(new, "w") as f:
+        f["fresh0"] = np.array([0.999, 0.01], np.float32)  # ~aud0
+        f["fresh1"] = np.array([0.7, 0.7], np.float32)     # below thr
+    out = tmp_path / "aug_sim.json"
+    DT.audio_similarity(str(ref), str(p), str(new), str(out),
+                        threshold=0.95)
+    data = json.load(open(out))["audios"]
+    assert len(data) == 1 and data[0]["audio_id"] == "fresh0"
+    assert "dog" in data[0]["captions"][0]["caption"]
+
+
+def test_filter_new_audio_aug(corpus, tmp_path):
+    root, p, audios = corpus
+    with open(tmp_path / "wav.csv", "w") as f:
+        f.write("audio_id\thdf5_path\nnew0\tx\nnew1\tx\n")
+
+    def dump(path, sims, key="at_sim"):
+        json.dump({"audios": [
+            {"audio_id": aid,
+             "captions": [{"tokens": f"cap {aid} {key}", key: s,
+                           "cap_id": "1"}]}
+            for aid, s in sims.items()]}, open(path, "w"))
+    dump(tmp_path / "g.json", {"new0": 0.6, "new1": 0.2})
+    dump(tmp_path / "eg.json", {"new0": 0.4, "new1": 0.3})
+    dump(tmp_path / "r.json", {"new0": 0.1, "new1": 0.45},
+         key="similarity")
+    out = tmp_path / "filtered.json"
+    DT.filter_new_audio_aug(str(tmp_path / "wav.csv"),
+                            str(tmp_path / "g.json"),
+                            str(tmp_path / "eg.json"),
+                            str(tmp_path / "r.json"), str(out))
+    data = json.load(open(out))["audios"]
+    # new0 passes (0.6 >= 0.5); new1's best is 0.45 -> dropped
+    assert [a["audio_id"] for a in data] == ["new0"]
