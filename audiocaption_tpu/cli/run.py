@@ -367,6 +367,10 @@ class Runner:
                 experiment_path: EXP   # trained experiment dir
                 resume: swa.pth
               teacher_emb: embs.npz    # enc KD: audio_id -> embedding
+                                       # (optional when kd.teacher is a
+                                       # JAX experiment: its frozen
+                                       # encoder then embeds each batch
+                                       # on the fly, run_enc_kd.py:76-84)
         """
         cfg = load_config(config, parse_overrides(overrides))
         kd_cfg = cfg["kd"]
@@ -413,6 +417,7 @@ class Runner:
         # kd/run_kd.py teacher loading)
         teacher_fwd = None
         teacher_generate = None
+        teacher_emb_fwd = None
         if kd_cfg.get("teacher"):
             t_cfg, t_model, t_vars, t_tok = self._load_experiment(
                 kd_cfg["teacher"]["experiment_path"],
@@ -433,6 +438,19 @@ class Runner:
                                                sample_method="greedy")
                         ["seq"])(jnp.asarray(wav), jnp.asarray(wav_len))
                     return t_tok.decode(np.asarray(seq))
+            elif kd_type == "enc":
+                # on-the-fly teacher embeddings from a frozen JAX
+                # encoder (the reference's run_enc_kd.py computes the
+                # BART-teacher embedding per batch the same way,
+                # run_enc_kd.py:76-84); no npz cache required
+                from audiocaption_tpu.models.captioner import Captioner
+
+                @jax.jit
+                def teacher_emb_fwd(wav, wav_len):
+                    enc = t_model.apply(t_vars, wav, wav_len,
+                                        train=False,
+                                        method=Captioner.encode)
+                    return enc["fc_emb"]
 
         from audiocaption_tpu.training import create_train_state
         state = create_train_state(variables, tx, jax.random.PRNGKey(seed))
@@ -461,8 +479,20 @@ class Runner:
             from audiocaption_tpu.losses.kd import ContraEncoderKdHead
             from audiocaption_tpu.training.distill import (
                 make_encoder_kd_step)
-            embs = dict(np.load(kd_cfg["teacher_emb"]))
-            tchr_dim = next(iter(embs.values())).shape[-1]
+            embs = None
+            if kd_cfg.get("teacher_emb"):
+                embs = dict(np.load(kd_cfg["teacher_emb"]))
+                tchr_dim = next(iter(embs.values())).shape[-1]
+            elif teacher_emb_fwd is not None:
+                probe = next(iter(val_loader))
+                tchr_dim = int(teacher_emb_fwd(
+                    jnp.asarray(probe["wav"][:1]),
+                    jnp.asarray(probe["wav_len"][:1])).shape[-1])
+            else:
+                raise ValueError(
+                    "enc KD needs kd.teacher_emb (npz) or kd.teacher "
+                    "(a trained experiment whose encoder provides "
+                    "embeddings on the fly)")
             kd_head = ContraEncoderKdHead(
                 shared_dim=kd_cfg.get("shared_dim", 1024))
             fc_dim = model.decoder.fc_emb_dim or 512
@@ -479,10 +509,14 @@ class Runner:
                 unsup=kd_cfg.get("unsup", False))
 
             def run_step(state, batch):
-                b = {"wav": jnp.asarray(batch["wav"]),
-                     "wav_len": jnp.asarray(batch["wav_len"]),
-                     "tchr_emb": jnp.asarray(np.stack(
-                         [embs[a] for a in batch["audio_id"]]))}
+                wav = jnp.asarray(batch["wav"])
+                wav_len = jnp.asarray(batch["wav_len"])
+                if embs is not None:
+                    tchr = jnp.asarray(np.stack(
+                        [embs[a] for a in batch["audio_id"]]))
+                else:
+                    tchr = teacher_emb_fwd(wav, wav_len)
+                b = {"wav": wav, "wav_len": wav_len, "tchr_emb": tchr}
                 if not kd_cfg.get("unsup", False):
                     b["cap"] = jnp.asarray(batch["cap"], jnp.int32)
                     b["cap_len"] = jnp.asarray(batch["cap_len"])

@@ -53,7 +53,7 @@ def ensemble_generate(models: Sequence[Captioner],
             if isinstance(dec, TransformerDecoder):
                 s, d = dec.apply(dec_vars, enc_k["attn_emb"],
                                  enc_k["attn_emb_len"], L,
-                                 method=TransformerDecoder.init_cache)
+                                 method=type(dec).init_cache)
             else:
                 s, d = dec.apply(dec_vars, enc_k["attn_emb"],
                                  enc_k["attn_emb_len"], enc_k["fc_emb"], L,
@@ -71,10 +71,12 @@ def ensemble_generate(models: Sequence[Captioner],
                 dec = m.decoder
                 dec_vars = {"params": v["params"]["decoder"]}
                 if isinstance(dec, TransformerDecoder):
+                    # type(dec).step so conditioned subclasses keep
+                    # their per-step cond injection
                     logit, nd = dec.apply(
                         dec_vars, word, t, static, dyn,
                         is_pad_t=word == special.pad,
-                        method=TransformerDecoder.step)
+                        method=type(dec).step)
                 else:
                     logit, nd = dec.apply(dec_vars, word, t, static, dyn,
                                           method=type(dec).step)

@@ -400,7 +400,11 @@ class FusedBeamDecoder:
                  max_kernel_batch: int = 64):
         self.model = model
         self.dec: TransformerDecoder = model.decoder
-        assert isinstance(self.dec, TransformerDecoder)
+        # exact type: conditioned subclasses (Event/KeywordProb) inject
+        # a per-step cond embedding the kernel does not model
+        assert type(self.dec) is TransformerDecoder, (
+            "fused decode supports the plain TransformerDecoder only; "
+            f"got {type(self.dec).__name__}")
         self.max_length = max_length
         self.beam_size = beam_size
         self.max_kernel_batch = max_kernel_batch

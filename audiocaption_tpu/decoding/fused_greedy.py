@@ -319,7 +319,11 @@ class FusedGreedyDecoder:
                  max_length: int = 20):
         self.model = model
         self.dec: TransformerDecoder = model.decoder
-        assert isinstance(self.dec, TransformerDecoder)
+        # exact type: conditioned subclasses (Event/KeywordProb) inject
+        # a per-step cond embedding the kernel does not model
+        assert type(self.dec) is TransformerDecoder, (
+            "fused decode supports the plain TransformerDecoder only; "
+            f"got {type(self.dec).__name__}")
         self.variables = variables
         self.max_length = max_length
         packed = pack_decoder_weights(

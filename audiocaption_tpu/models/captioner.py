@@ -258,11 +258,14 @@ def generate(model: Captioner,
 
     def make_step_fn(static):
         if is_transformer:
+            # type(decoder_def).step, NOT TransformerDecoder.step: the
+            # conditioned subclasses override step to inject the
+            # event/keyword embedding (static["cond"]) at every step
             def step_fn(word, t, dyn):
                 return decoder_def.apply(
                     dec_vars, word, t, static, dyn,
                     is_pad_t=word == special.pad,
-                    method=TransformerDecoder.step)
+                    method=type(decoder_def).step)
         else:
             def step_fn(word, t, dyn):
                 return decoder_def.apply(

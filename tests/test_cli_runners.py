@@ -209,6 +209,25 @@ def test_enc_kd_training(workspace):
 
 
 @pytest.mark.slow
+def test_enc_kd_training_jax_teacher(workspace, base_exp):
+    """enc KD with NO precomputed npz: the frozen encoder of a trained
+    JAX experiment embeds each batch on the fly (the reference computes
+    its BART-teacher embedding per batch the same way,
+    kd/run_enc_kd.py:76-84)."""
+    root, base_cfg = workspace
+    cfg = dict(base_cfg)
+    cfg["experiment_path"] = str(root / "kd_enc_jax_exp")
+    cfg["kd"] = {"type": "enc", "weight": 1.0, "shared_dim": 32,
+                 "teacher": {"experiment_path": str(base_exp),
+                             "resume": "best.pth"}}
+    p = root / "kd_enc_jax.yaml"
+    with open(p, "w") as f:
+        yaml.safe_dump(cfg, f)
+    exp_dir = Runner().train_kd(str(p))
+    assert (Path(exp_dir) / "best.pth").exists()
+
+
+@pytest.mark.slow
 def test_aug_training(workspace):
     root, base_cfg = workspace
     cfg = dict(base_cfg)
