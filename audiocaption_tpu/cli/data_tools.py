@@ -31,6 +31,14 @@ Subcommands (python -m audiocaption_tpu.cli.data_tools <cmd> ...):
                        (predict_nrst_ngbr.py)
   model_eval_diff      all-refs minus leave-one-out metric diff
                        (model_eval_diff.py)
+  pred_to_anno         prediction json -> annotation json
+                       (pred_to_anno.py)
+  concat_anno_json     merge annotation jsons (concat_anno_json.py)
+  concat_pred_json     merge prediction jsons (concat_pred_json.py)
+  prepare_wav_csv      scan a directory into a wav csv
+                       (prepare_wav_csv.py)
+  wavcsv_from_textjson subset a waveform csv by annotation ids
+                       (wavcsv_from_textjson.py)
 """
 
 from __future__ import annotations
@@ -668,6 +676,113 @@ def model_eval_diff(prediction_json: str, caption_json: str, output: str,
 
 
 # --------------------------------------------------------------------------
+# small json/csv utilities (python_scripts/utils/)
+# --------------------------------------------------------------------------
+
+def pred_to_anno(prediction_input: str, annotation_output: str,
+                 wav_csv: str = None):
+    """Prediction json -> annotation-format json (pred_to_anno.py):
+    each predicted caption becomes the single reference (cap_id "1")."""
+    target = None
+    if wav_csv:
+        with open(wav_csv) as f:
+            rows = [ln.split("\t") for ln in f.read().splitlines()[1:]]
+        target = {r[0] for r in rows if r}
+    with open(prediction_input) as f:
+        preds = json.load(f)
+    data = []
+    if "predictions" in preds:
+        for item in preds["predictions"]:
+            aid = item["filename"]
+            if target is not None and aid not in target:
+                continue
+            data.append({"audio_id": aid,
+                         "captions": [{"cap_id": "1",
+                                       "tokens": item["tokens"]}]})
+    else:  # flat {audio_id: tokens} dict form (pred_to_anno.py:41-57)
+        for aid, tokens in preds.items():
+            if target is not None and aid not in target:
+                continue
+            data.append({"audio_id": aid,
+                         "captions": [{"cap_id": "1", "tokens": tokens}]})
+    with open(annotation_output, "w") as f:
+        json.dump({"audios": data}, f, indent=4, ensure_ascii=False)
+    print(f"wrote {len(data)} audios to {annotation_output}")
+
+
+def concat_anno_json(input_jsons, output_json: str, indent: int = None):
+    """Merge annotation jsons; same audio_id -> captions extended
+    (concat_anno_json.py)."""
+    merged = {}
+    for path in input_jsons:
+        with open(path, encoding="utf-8") as f:
+            audios = json.load(f)["audios"]
+        print(f"{path}: {len(audios)} audio clips")
+        for item in audios:
+            aid = item["audio_id"]
+            if aid in merged:
+                merged[aid]["captions"].extend(item["captions"])
+            else:
+                merged[aid] = item
+    print(f"new json has {len(merged)} audio clips")
+    with open(output_json, "w") as f:
+        json.dump({"audios": list(merged.values())}, f, indent=indent,
+                  ensure_ascii=False)
+
+
+def concat_pred_json(input_jsons, output_json: str):
+    """Merge prediction jsons; same filename -> token lists extended
+    (concat_pred_json.py)."""
+    merged = {}
+    for path in input_jsons:
+        with open(path, encoding="utf-8") as f:
+            for item in json.load(f)["predictions"]:
+                tokens = item["tokens"]
+                if isinstance(tokens, str):
+                    tokens = [tokens]
+                merged.setdefault(item["filename"], []).extend(tokens)
+    data = [{"filename": k, "tokens": v} for k, v in merged.items()]
+    with open(output_json, "w") as f:
+        json.dump({"predictions": data}, f, indent=4, ensure_ascii=False)
+
+
+def prepare_wav_csv(audio_directory: str, output_csv: str,
+                    recursive: bool = False, prefix: str = ""):
+    """Scan a directory for audio files -> wav csv [audio_id, file_name]
+    (prepare_wav_csv.py)."""
+    root = Path(audio_directory)
+    names = root.rglob("*") if recursive else root.iterdir()
+    with open(output_csv, "w") as f:
+        f.write("audio_id\tfile_name\n")
+        n = 0
+        for p in sorted(names):
+            if p.suffix in (".wav", ".mp3", ".flac"):
+                f.write(f"{prefix + p.name}\t{p.absolute()}\n")
+                n += 1
+    print(f"wrote {n} rows to {output_csv}")
+
+
+def wavcsv_from_textjson(annotation: str, waveform_csv: str, output: str):
+    """Subset a big waveform csv to the audio ids in an annotation json
+    (wavcsv_from_textjson.py)."""
+    aid_to_h5 = {}
+    with open(waveform_csv) as f:
+        rows = f.read().splitlines()
+    for ln in rows[1:]:
+        parts = ln.split("\t")
+        if len(parts) >= 2:
+            aid_to_h5[parts[0]] = parts[1]
+    with open(annotation) as f:
+        audios = json.load(f)["audios"]
+    with open(output, "w") as f:
+        f.write("audio_id\thdf5_path\n")
+        for item in audios:
+            aid = item["audio_id"]
+            f.write(f"{aid}\t{aid_to_h5[aid]}\n")
+    print(f"wrote {len(audios)} rows to {output}")
+
+
+# --------------------------------------------------------------------------
 # CLI
 # --------------------------------------------------------------------------
 
@@ -778,6 +893,31 @@ def main(argv=None):
     s.add_argument("caption_json")
     s.add_argument("output")
     s.add_argument("--zh", action="store_true")
+
+    s = sub.add_parser("pred_to_anno")
+    s.add_argument("prediction_input")
+    s.add_argument("annotation_output")
+    s.add_argument("--wav_csv", default=None)
+
+    s = sub.add_parser("concat_anno_json")
+    s.add_argument("input_jsons", nargs="+")
+    s.add_argument("output_json")
+    s.add_argument("--indent", type=int, default=None)
+
+    s = sub.add_parser("concat_pred_json")
+    s.add_argument("input_jsons", nargs="+")
+    s.add_argument("output_json")
+
+    s = sub.add_parser("prepare_wav_csv")
+    s.add_argument("audio_directory")
+    s.add_argument("output_csv")
+    s.add_argument("--recursive", action="store_true")
+    s.add_argument("--prefix", default="")
+
+    s = sub.add_parser("wavcsv_from_textjson")
+    s.add_argument("annotation")
+    s.add_argument("waveform_csv")
+    s.add_argument("output")
 
     args = vars(p.parse_args(argv))
     cmd = args.pop("cmd")

@@ -450,6 +450,7 @@ class FusedBeamDecoder:
                                     memk, memv, mem_valid)
 
         self._run = run
+        self._prepare = jax.jit(prepare)
 
     def __call__(self, wav, wav_len, n_best: bool = False):
         B = wav.shape[0]
@@ -457,8 +458,15 @@ class FusedBeamDecoder:
         if B <= mb:
             seq, score = self._run(wav, wav_len)
         else:
-            outs = [self._run(wav[i:i + mb], wav_len[i:i + mb])
-                    for i in range(0, B, mb)]
+            # encode ONCE on the full batch, kernel per memory slice
+            memk, memv, mem_valid = self._prepare(wav, wav_len)
+            outs = []
+            for i in range(0, B, mb):
+                mk = tuple(m[:, i:i + mb] for m in memk)
+                mv = tuple(m[:, i:i + mb] for m in memv)
+                outs.append(_fused_beam_call(
+                    self.dec, self.max_length, self.beam_size,
+                    self._packed, mk, mv, mem_valid[:, i:i + mb]))
             seq = jnp.concatenate([o[0] for o in outs], axis=0)
             score = jnp.concatenate([o[1] for o in outs], axis=0)
         if n_best:

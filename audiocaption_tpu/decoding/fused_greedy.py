@@ -380,6 +380,13 @@ class FusedGreedyDecoder:
         mb = self.max_kernel_batch
         if B <= mb:
             return self._run(wav, wav_len)
+        # per-chunk full pipeline: measured FASTER than encoding the
+        # whole batch once and slicing the memory per kernel chunk
+        # (27.6 vs 28.6 ms at B=256 on TPU v5e) — with the kernel chunk
+        # equal to the encoder chunk the big-batch encoder buys nothing
+        # and the memory-slice dispatches add overhead.  (Beam, whose
+        # kernel chunk is SMALLER than the efficient encoder batch,
+        # does use encode-once: fused_beam.py __call__.)
         outs = [self._run(wav[i:i + mb], wav_len[i:i + mb])
                 for i in range(0, B, mb)]
         return jnp.concatenate(outs, axis=0)

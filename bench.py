@@ -121,7 +121,7 @@ def main():
         from audiocaption_tpu.decoding.fused_beam import FusedBeamDecoder
         fb = FusedBeamDecoder(model, variables, max_length=20,
                               beam_size=3, max_kernel_batch=64)
-        for B in (64, 128):
+        for B in (64, 128, 256):
             args = make_batch(B)
             dt = _bench_fn(lambda w, l: fb(w, l), args)
             cps = B / dt

@@ -215,3 +215,57 @@ def test_filter_new_audio_aug(corpus, tmp_path):
     data = json.load(open(out))["audios"]
     # new0 passes (0.6 >= 0.5); new1's best is 0.45 -> dropped
     assert [a["audio_id"] for a in data] == ["new0"]
+
+
+def test_pred_to_anno_and_concat(corpus, tmp_path):
+    root, p, audios = corpus
+    pred = {"predictions": [{"filename": "aud0", "tokens": "a dog barks"},
+                            {"filename": "aud1", "tokens": "water flows"}]}
+    pp = tmp_path / "pred.json"
+    json.dump(pred, open(pp, "w"))
+    anno = tmp_path / "anno.json"
+    DT.pred_to_anno(str(pp), str(anno))
+    out = json.load(open(anno))["audios"]
+    assert out[0]["captions"][0] == {"cap_id": "1", "tokens": "a dog barks"}
+
+    # concat: annotation merge extends captions of shared ids
+    merged = tmp_path / "merged.json"
+    DT.concat_anno_json([str(p), str(anno)], str(merged))
+    m = {a["audio_id"]: a for a in json.load(open(merged))["audios"]}
+    assert len(m["aud0"]["captions"]) == 3          # 2 originals + 1 pred
+    assert len(m) == 4
+
+    # prediction merge extends token lists of shared filenames
+    mp = tmp_path / "mpred.json"
+    DT.concat_pred_json([str(pp), str(pp)], str(mp))
+    preds = {x["filename"]: x["tokens"]
+             for x in json.load(open(mp))["predictions"]}
+    assert preds["aud0"] == ["a dog barks", "a dog barks"]
+
+
+def test_prepare_wav_csv_and_subset(corpus, tmp_path):
+    root, p, audios = corpus
+    d = tmp_path / "wavs"
+    (d / "sub").mkdir(parents=True)
+    for aid in ("aud0", "aud1", "aud2", "aud3"):
+        (d / f"{aid}.wav").write_bytes(b"")
+    (d / "sub" / "extra.flac").write_bytes(b"")
+    (d / "notes.txt").write_text("skip me")
+
+    out = tmp_path / "wav.csv"
+    DT.prepare_wav_csv(str(d), str(out))
+    rows = out.read_text().splitlines()
+    assert rows[0] == "audio_id\tfile_name"
+    assert len(rows) == 5                            # 4 wavs, no txt
+    DT.prepare_wav_csv(str(d), str(out), recursive=True, prefix="x_")
+    rows = out.read_text().splitlines()
+    assert len(rows) == 6 and rows[1].startswith("x_")
+
+    # wavcsv_from_textjson subsets by annotation ids
+    big = tmp_path / "big.csv"
+    big.write_text("audio_id\thdf5_path\n" + "".join(
+        f"aud{i}\t/h5/part{i}.h5\n" for i in range(10)))
+    sub = tmp_path / "subset.csv"
+    DT.wavcsv_from_textjson(str(p), str(big), str(sub))
+    rows = sub.read_text().splitlines()
+    assert rows[1:] == [f"aud{i}\t/h5/part{i}.h5" for i in range(4)]

@@ -43,3 +43,23 @@ def test_fused_beam_interpret_token_parity(interp):
     np.testing.assert_array_equal(np.asarray(seq), np.asarray(ref["seq"]))
     np.testing.assert_allclose(np.asarray(score),
                                np.asarray(ref["score"]), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_beam_chunked_parity(interp):
+    """B > max_kernel_batch: one full-batch encode, kernel per memory
+    slice — beams and scores must match the whole-batch engine."""
+    from audiocaption_tpu.models.captioner import generate
+    from test_fused_greedy import _small_model
+    model, variables = _small_model()
+    wav = jnp.asarray(np.random.RandomState(2).randn(4, 16000),
+                      jnp.float32)
+    lens = jnp.asarray([16000, 9000, 12000, 7000])
+    ref = generate(model, variables, wav, lens, sample_method="beam",
+                   beam_size=2, max_length=6, n_best=True, n_best_size=2)
+    fb = interp.FusedBeamDecoder(model, variables, max_length=6,
+                                 beam_size=2, max_kernel_batch=2)
+    seq, score = fb(wav, lens, n_best=True)
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(ref["seq"]))
+    np.testing.assert_allclose(np.asarray(score),
+                               np.asarray(ref["score"]), atol=1e-4)

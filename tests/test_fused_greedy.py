@@ -127,3 +127,19 @@ def test_fused_kernel_interpret_token_parity(interp):
     fd = interp.FusedGreedyDecoder(model, variables, max_length=10)
     got = np.asarray(fd(wav, lens))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_kernel_chunked_parity(interp):
+    """B > max_kernel_batch: the chunked path must match the
+    whole-batch engine decode token-for-token."""
+    from audiocaption_tpu.models.captioner import generate
+    model, variables = _small_model()
+    wav = jnp.asarray(np.random.RandomState(1).randn(4, 16000),
+                      jnp.float32)
+    lens = jnp.asarray([16000, 9000, 12000, 7000])
+    ref = np.asarray(generate(model, variables, wav, lens,
+                              sample_method="greedy", max_length=8)["seq"])
+    fd = interp.FusedGreedyDecoder(model, variables, max_length=8)
+    fd.max_kernel_batch = 2
+    got = np.asarray(fd(wav, lens))
+    np.testing.assert_array_equal(got, ref)
