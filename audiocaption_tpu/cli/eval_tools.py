@@ -34,6 +34,9 @@ def main(argv=None):
     div = sub.add_parser("diversity")
     div.add_argument("--predictions", required=True)
     div.add_argument("--train_caption", default=None)
+    div.add_argument("--instance", action="store_true",
+                     help="per-caption distinct-n averaged over captions"
+                          " (diversity_instance.py)")
     sc = sub.add_parser("score")
     sc.add_argument("--predictions", required=True)
     sc.add_argument("--caption", required=True)
@@ -52,12 +55,16 @@ def main(argv=None):
             print(f"{k}: {mean:.4f} +/- {std:.4f}")
     elif args.command == "diversity":
         from audiocaption_tpu.metrics import diversity_metrics
+        from audiocaption_tpu.metrics.diversity import (
+            instance_diversity_metrics)
         preds = [v[0] for v in _load_predictions(args.predictions).values()]
         train = None
         if args.train_caption:
             refs = load_caption_json(args.train_caption)
             train = [c for caps in refs.values() for c in caps]
-        for k, v in diversity_metrics(preds, train).items():
+        fn = instance_diversity_metrics if args.instance \
+            else diversity_metrics
+        for k, v in fn(preds, train).items():
             print(f"{k}: {v:.4f}")
     elif args.command == "score":
         from audiocaption_tpu.metrics import evaluate_captions

@@ -44,3 +44,30 @@ def diversity_metrics(predictions: List[str],
         bleu, _ = corpus_bleu(key2pred, key2refs)
         out["self_bleu_4"] = bleu[3]
     return out
+
+
+def instance_diversity_metrics(predictions: List[str],
+                               train_captions: Optional[Iterable[str]]
+                               = None) -> Dict[str, float]:
+    """Per-caption diversity, averaged over captions
+    (python_scripts/eval/diversity_instance.py:47-86): distinct-n is the
+    within-caption unique-ngram ratio, not the corpus-level pool."""
+    tokens = [p.split() for p in predictions]
+    vocab = set(t for toks in tokens for t in toks)
+
+    def distinct(toks: List[str], n: int) -> float:
+        grams = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        return len(set(grams)) / len(grams) if grams else 0.0
+
+    out = {
+        "vocab_size": float(len(vocab)),
+        "distinct_1": (sum(distinct(t, 1) for t in tokens)
+                       / max(len(tokens), 1)),
+        "distinct_2": (sum(distinct(t, 2) for t in tokens)
+                       / max(len(tokens), 1)),
+    }
+    if train_captions is not None:
+        train_set = set(train_captions)
+        novel = sum(1 for p in predictions if p not in train_set)
+        out["novel_ratio"] = novel / max(len(predictions), 1)
+    return out

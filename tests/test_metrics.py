@@ -110,3 +110,36 @@ def test_diversity_metrics():
     assert out["novel_ratio"] == pytest.approx(1 / 3)
     assert 0 < out["distinct_1"] <= 1
     assert "self_bleu_4" in out
+
+
+def test_instance_diversity_metrics():
+    from audiocaption_tpu.metrics.diversity import instance_diversity_metrics
+    preds = ["a dog barks", "a a a a", "water flows down"]
+    out = instance_diversity_metrics(preds,
+                                     train_captions=["a dog barks"])
+    # per-caption unique-unigram ratios: 1.0, 0.25, 1.0 -> mean 0.75
+    assert out["distinct_1"] == pytest.approx(0.75)
+    # "a a a a" bigrams: {("a","a")} of 3 -> 1/3; others 1.0
+    assert out["distinct_2"] == pytest.approx((1.0 + 1 / 3 + 1.0) / 3)
+    assert out["novel_ratio"] == pytest.approx(2 / 3)
+    assert out["vocab_size"] == 6
+
+
+def test_zh_caption_eval_path(tmp_path):
+    """zh corpora carry pre-tokenized `tokens` (prepare_car output);
+    key2refs uses tokens and scoring skips PTB (base.py:55,320)."""
+    import json
+    from audiocaption_tpu.data.dataset import load_caption_json
+    audios = [{"audio_id": "a",
+               "captions": [{"tokens": "狗 在 叫", "cap_id": "1"},
+                            {"tokens": "狗 叫 了", "cap_id": "2"}]},
+              {"audio_id": "b",
+               "captions": [{"tokens": "水 在 流", "cap_id": "1"}]}]
+    p = tmp_path / "zh.json"
+    p.write_text(json.dumps({"audios": audios}, ensure_ascii=False))
+    refs = load_caption_json(str(p), zh=True)
+    assert refs["a"] == ["狗 在 叫", "狗 叫 了"]
+    result = evaluate_captions({"a": ["狗 在 叫"], "b": ["水 在 流"]},
+                               refs, zh=True, use_java=False)
+    assert result["cider"] > 0.5
+    assert result["bleu_1"] == pytest.approx(1.0, abs=1e-6)
