@@ -24,9 +24,11 @@ def main(argv=None):
     p.add_argument("--wav_csv", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--encoder", default="cnn14",
-                   choices=["cnn14", "cnn10", "cnn6", "effb2"])
+                   choices=["cnn14", "cnn10", "cnn6", "effb2", "htsat"])
     p.add_argument("--checkpoint", default=None,
-                   help="torch checkpoint (PANNs / COLA / BLAT / HEAR)")
+                   help="torch checkpoint (PANNs / COLA / BLAT / HEAR; "
+                        "htsat also covers CLAP-style HTS-AT audio "
+                        "towers, prepare_pretrained_features/clap.py)")
     p.add_argument("--batch_size", type=int, default=16)
     args = p.parse_args(argv)
 
@@ -48,6 +50,9 @@ def main(argv=None):
         enc_def, mel = Cnn14Encoder(), CNN14_MEL_32K
     elif args.encoder == "cnn10":
         enc_def, mel = Cnn10Encoder(), CNN14_MEL_32K
+    elif args.encoder == "htsat":
+        from audiocaption_tpu.models.htsat import HtsatEncoder
+        enc_def, mel = HtsatEncoder(), CNN14_MEL_32K
     else:
         enc_def, mel = Cnn6Encoder(), CNN14_MEL_32K
 
@@ -67,6 +72,9 @@ def main(argv=None):
             params, stats = convert_effb2(sd)
         elif args.encoder == "cnn14":
             params, stats = convert_cnn14(sd)
+        elif args.encoder == "htsat":
+            from audiocaption_tpu.models.htsat import convert_htsat
+            params, stats = convert_htsat(sd)
         else:
             params, stats = convert_panns_small(sd)
         variables = {"params": params, "batch_stats": stats}

@@ -374,19 +374,38 @@ class FusedGreedyDecoder:
         # mem K/V live fully in VMEM: cap the kernel batch (B=128 with
         # S<=32 fits the ~100MB scoped VMEM; B=256 does not)
         self.max_kernel_batch = 128
+        self._chunked_cache = {}
+
+        def make_chunked(B):
+            mb = self.max_kernel_batch
+
+            # ONE jitted program for the whole batch, per-chunk
+            # pipeline inside it.  Two measured facts (TPU v5e, B=256):
+            # issuing chunks/slices as separate dispatches is
+            # pathological over the high-latency axon tunnel (host
+            # round-trip per tiny program), and the kernel chunk here
+            # EQUALS the efficient encoder batch (128), so encoding the
+            # whole batch at once is ~1 ms slower than two 128-clip
+            # encoder passes (28.1 vs 27.3 ms e2e).
+            @jax.jit
+            def run_chunked(w, wl):
+                outs = []
+                for i in range(0, B, mb):
+                    memk, memv, valid = prepare(
+                        jax.lax.slice_in_dim(w, i, i + mb, axis=0),
+                        jax.lax.slice_in_dim(wl, i, i + mb, axis=0))
+                    outs.append(_fused_decode_call(
+                        dec, max_length, packed, memk, memv, valid))
+                return jnp.concatenate(outs, axis=0)
+
+            return run_chunked
+
+        self._make_chunked = make_chunked
 
     def __call__(self, wav, wav_len) -> jnp.ndarray:
         B = wav.shape[0]
-        mb = self.max_kernel_batch
-        if B <= mb:
+        if B <= self.max_kernel_batch:
             return self._run(wav, wav_len)
-        # per-chunk full pipeline: measured FASTER than encoding the
-        # whole batch once and slicing the memory per kernel chunk
-        # (27.6 vs 28.6 ms at B=256 on TPU v5e) — with the kernel chunk
-        # equal to the encoder chunk the big-batch encoder buys nothing
-        # and the memory-slice dispatches add overhead.  (Beam, whose
-        # kernel chunk is SMALLER than the efficient encoder batch,
-        # does use encode-once: fused_beam.py __call__.)
-        outs = [self._run(wav[i:i + mb], wav_len[i:i + mb])
-                for i in range(0, B, mb)]
-        return jnp.concatenate(outs, axis=0)
+        if B not in self._chunked_cache:
+            self._chunked_cache[B] = self._make_chunked(B)
+        return self._chunked_cache[B](wav, wav_len)

@@ -105,7 +105,12 @@ def _shift_mask(H: int, W: int, w: int, shift: int) -> np.ndarray:
         for ws in slices:
             img[:, hs, ws, :] = cnt
             cnt += 1
-    mw = np.asarray(window_partition(jnp.asarray(img), w)).reshape(-1, w * w)
+    # pure numpy window_partition: this runs at TRACE time (the mask is
+    # a static constant), so no jnp ops are allowed here — under jit
+    # they would stage tracers that numpy cannot convert back
+    mw = (img.reshape(1, H // w, w, W // w, w, 1)
+             .transpose(0, 1, 3, 2, 4, 5)
+             .reshape(-1, w * w))
     mask = mw[:, None, :] - mw[:, :, None]
     return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
 

@@ -86,7 +86,7 @@ def main():
 
     best = 0.0
     best_cfg = None
-    for B in (64, 128, 256, 512):
+    for B in (64, 128, 256):
         try:
             args = make_batch(B)
             dt = _bench_fn(beam_fn, args)
@@ -103,7 +103,7 @@ def main():
     try:
         from audiocaption_tpu.decoding.fused_greedy import FusedGreedyDecoder
         fd = FusedGreedyDecoder(model, variables, max_length=20)
-        for B in (128, 256):
+        for B in (128, 256, 512):
             args = make_batch(B)
             dt = _bench_fn(lambda w, l: fd(w, l), args)
             cps = B / dt

@@ -157,3 +157,24 @@ def test_htsat_checkpoint_parity():
                                atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(out["fc_emb"]), ref_emb,
                                atol=5e-4, rtol=1e-3)
+
+
+def test_shifted_swin_block_compiles_under_jit():
+    """_shift_mask must stay pure numpy: under jit, jnp ops on the
+    static mask image stage tracers that numpy cannot convert back
+    (regression: HTSAT previously failed to trace inside a train
+    step)."""
+    import jax
+    import jax.numpy as jnp
+    from audiocaption_tpu.models.htsat import SwinBlock
+
+    blk = SwinBlock(8, 2, 4, 2, 4.0)
+    x = jnp.zeros((1, 64, 8))
+    variables = blk.init(jax.random.PRNGKey(0), x, (8, 8))
+
+    @jax.jit
+    def fwd(v, x):
+        return blk.apply(v, x, (8, 8))
+
+    out = fwd(variables, x)
+    assert out.shape == (1, 64, 8)
