@@ -12,6 +12,7 @@ the MXU runs at full rate while accumulating in float32.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
@@ -73,6 +74,61 @@ class BatchNorm(nn.Module):
         return y.astype(self.compute_dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _depthwise_conv(x_pad: Array, kernel: Array,
+                    strides: Tuple[int, int]) -> Array:
+    """Depthwise conv on a pre-padded NHWC input, with a GSPMD-safe
+    kernel gradient.
+
+    The stock gradient of a grouped conv w.r.t. its KERNEL lowers to a
+    conv with ``batch_group_count``, which XLA's SPMD partitioner
+    multiplies by the size of any unrelated mesh axis the program also
+    uses (measured: exactly 2x on a ('data','model') mesh with
+    model=2 — forward and input-grad are unaffected).  The custom
+    backward computes dk as kh*kw shifted elementwise products instead
+    (identical FLOPs, no grouped-conv-grad primitive).
+    """
+    return jax.lax.conv_general_dilated(
+        x_pad, kernel, window_strides=strides, padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x_pad.shape[-1])
+
+
+def _depthwise_conv_fwd(x_pad, kernel, strides):
+    return _depthwise_conv(x_pad, kernel, strides), (x_pad, kernel)
+
+
+def _depthwise_conv_bwd(strides, res, dy):
+    x_pad, kernel = res
+    # input grad via the standard rule (lowers to a plain grouped conv,
+    # which the partitioner handles correctly)
+    _, pullback = jax.vjp(
+        lambda xx: jax.lax.conv_general_dilated(
+            xx, kernel, window_strides=strides, padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=x_pad.shape[-1]), x_pad)
+    dx, = pullback(dy)
+    kh, kw, _, C = kernel.shape
+    s0, s1 = strides
+    OH, OW = dy.shape[1], dy.shape[2]
+    dy32 = dy.astype(jnp.float32)
+    taps = []
+    for i in range(kh):
+        for j in range(kw):
+            xs = jax.lax.slice(
+                x_pad, (0, i, j, 0),
+                (x_pad.shape[0], i + (OH - 1) * s0 + 1,
+                 j + (OW - 1) * s1 + 1, x_pad.shape[3]),
+                (1, s0, s1, 1))
+            taps.append(jnp.sum(xs.astype(jnp.float32) * dy32,
+                                axis=(0, 1, 2)))
+    dk = jnp.stack(taps).reshape(kh, kw, 1, C).astype(kernel.dtype)
+    return dx, dk
+
+
+_depthwise_conv.defvjp(_depthwise_conv_fwd, _depthwise_conv_bwd)
+
+
 class Conv2dSame(nn.Module):
     """Conv with explicit padding; weights stored flax-style [kh,kw,I,O].
 
@@ -102,15 +158,28 @@ class Conv2dSame(nn.Module):
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
             (kh, kw, x.shape[-1] // self.groups, self.features), jnp.float32)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.compute_dtype),
-            kernel.astype(self.compute_dtype),
-            window_strides=self.strides,
-            padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
-        )
+        # no preferred_element_type=f32 here: with bf16 operands the
+        # conv GRAD rule feeds the f32 cotangent back into a bf16 conv
+        # and lax raises a dtype mismatch — bf16 training would break.
+        # The f32 accumulation was rounded to compute_dtype on return
+        # anyway (and the TPU MXU accumulates f32 internally regardless).
+        if self.groups > 1 and self.groups == x.shape[-1]:
+            # depthwise: custom vjp (see _depthwise_conv — the stock
+            # grouped-conv kernel-grad is wrong under multi-axis GSPMD)
+            x_pad = jnp.pad(x.astype(self.compute_dtype),
+                            ((0, 0), pad[0], pad[1], (0, 0)))
+            y = _depthwise_conv(x_pad,
+                                kernel.astype(self.compute_dtype),
+                                self.strides)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.compute_dtype),
+                kernel.astype(self.compute_dtype),
+                window_strides=self.strides,
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)

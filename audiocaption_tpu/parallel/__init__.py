@@ -4,3 +4,9 @@ from audiocaption_tpu.parallel.mesh import (
     replicate,
     host_local_batch_to_global,
 )
+from audiocaption_tpu.parallel.tp import (
+    DEFAULT_TP_RULES,
+    create_sharded_train_state,
+    make_tp_mesh,
+    shard_params,
+)

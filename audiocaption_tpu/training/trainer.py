@@ -179,6 +179,12 @@ def make_train_step(model,
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
+    if "model" in mesh.axis_names:
+        # tensor-parallel state (parallel/tp.py): the params carry their
+        # own NamedShardings, so the step is placement-driven — jit
+        # propagates the layout and inserts the TP collectives.
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))
     return jax.jit(

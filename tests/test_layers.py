@@ -241,3 +241,20 @@ def test_sinusoidal_positions_match_reference_formula():
     np.testing.assert_allclose(pe[0], np.array([0., 1.] * 8), atol=1e-7)
     np.testing.assert_allclose(pe[3, 0], np.sin(3.0), atol=1e-6)
     np.testing.assert_allclose(pe[3, 1], np.cos(3.0), atol=1e-6)
+
+
+def test_conv2dsame_bf16_differentiable():
+    """bf16 conv must be differentiable: with preferred_element_type=f32
+    the conv grad rule used to feed the f32 cotangent into a bf16 conv
+    and lax raised a dtype mismatch (bf16 training was broken)."""
+    from audiocaption_tpu.models.layers import Conv2dSame
+    conv = Conv2dSame(4, (3, 3), padding=1, compute_dtype=jnp.bfloat16)
+    x = jnp.ones((1, 8, 8, 2), jnp.bfloat16)
+    v = conv.init(jax.random.PRNGKey(0), x)
+
+    def loss(params):
+        return jnp.sum(conv.apply({"params": params}, x)
+                       .astype(jnp.float32))
+
+    g = jax.grad(loss)(v["params"])
+    assert jnp.all(jnp.isfinite(g["kernel"]))

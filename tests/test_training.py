@@ -200,3 +200,79 @@ def test_train_step_use_ss_false_takes_seq_path():
     hlo_fast = step_fast.lower(state, batch, jnp.float32(0.3))
     hlo_ss = step_ss.lower(state, batch, jnp.float32(1.0))
     assert len(hlo_fast.as_text()) < len(hlo_ss.as_text())
+
+
+def test_train_step_tensor_parallel_mesh():
+    """2x4 (data x model) tensor parallelism (parallel/tp.py): Megatron
+    param shardings on the decoder, placement-driven jit; loss and the
+    updated params match the single-device step."""
+    from audiocaption_tpu.parallel import (
+        create_sharded_train_state, make_tp_mesh)
+
+    model, state, batch = _setup_train()
+    batch8 = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x] * 4, axis=0), batch)
+    loss_fn = masked_token_loss("label_smoothing", 0.1)
+    tx = make_optimizer(1e-3,
+                        exponential_decay_with_warmup(1e-3, 1e-5, 100, 5))
+
+    mesh = make_tp_mesh(jax.devices(), model_parallel=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+    state_tp = create_sharded_train_state(variables, tx,
+                                          jax.random.PRNGKey(0), mesh)
+    # the placement actually sharded the MLP/attention matrices (the
+    # V=23 classifier falls back to replicated: 23 % 4 != 0)
+    import flax.traverse_util as trav
+    flat = trav.flatten_dict(state_tp.params)
+    sharded = [k for k, v in flat.items()
+               if any(a is not None for a in v.sharding.spec)]
+    assert any(k[-2:] == ("linear1", "kernel") for k in sharded)
+    assert any(k[-2:] == ("q_proj", "kernel") for k in sharded)
+
+    step_tp = make_train_step(model, loss_fn, tx, mesh=mesh, donate=False)
+    step_single = make_train_step(model, loss_fn, tx, donate=False)
+
+    from audiocaption_tpu.parallel import shard_batch as sb
+    batch_tp = sb(batch8, mesh)
+    state_tp, metrics_tp = step_tp(state_tp, batch_tp, jnp.float32(1.0))
+    state_s, metrics_s = step_single(state, batch8, jnp.float32(1.0))
+    np.testing.assert_allclose(float(metrics_tp["loss"]),
+                               float(metrics_s["loss"]), rtol=1e-4)
+    # updated (sharded) params equal the single-device update
+    p_tp = jax.device_get(state_tp.params)
+    p_s = jax.device_get(state_s.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-5),
+        p_tp, p_s)
+
+
+def test_depthwise_conv_grad_exact_under_tp_mesh():
+    """The stock grouped-conv KERNEL grad is multiplied by the size of
+    an unrelated mesh axis under multi-axis GSPMD (measured exactly 2x
+    with model=2) — the custom depthwise vjp in models/layers.py must
+    keep it exact.  Regression for the dp x tp train step."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from audiocaption_tpu.models.layers import Conv2dSame
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    rng = np.random.RandomState(0)
+    B, C, Vc = 8, 16, 64
+    x = jnp.asarray(rng.randn(B, 16, 16, C), jnp.float32)
+    w_cls = jnp.asarray(rng.randn(C, Vc), jnp.float32) * 0.1
+    conv = Conv2dSame(C, (3, 3), strides=(2, 2), padding=(0, 1, 0, 1),
+                      groups=C)
+    cv = conv.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, w, xx):
+        y = conv.apply({"params": params}, xx)
+        h = jnp.mean(y, axis=(1, 2))
+        return jnp.sum(jax.nn.log_softmax(h @ w) ** 2)
+
+    g1 = jax.grad(loss)(cv["params"], w_cls, x)["kernel"]
+    p_sh = jax.device_put(cv["params"], NamedSharding(mesh, P()))
+    w_sh = jax.device_put(w_cls, NamedSharding(mesh, P(None, "model")))
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+    g2 = jax.jit(jax.grad(loss))(p_sh, w_sh, x_sh)["kernel"]
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-5)
