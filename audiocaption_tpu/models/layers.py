@@ -74,19 +74,33 @@ class BatchNorm(nn.Module):
         return y.astype(self.compute_dtype)
 
 
+# Trace-time switch for the depthwise-conv kernel-grad implementation.
+# The stock grouped-conv kernel grad lowers to a batch_group_count conv
+# that XLA's SPMD partitioner multiplies by the size of any unrelated
+# mesh axis (measured exactly 2x with a ('data','model') model=2 mesh) —
+# but the GSPMD-safe tap-sum backward is much slower on TPU for big
+# programs.  Default: stock (fast, correct on <=1-axis meshes).  The
+# tensor-parallel entry points (parallel/tp.py, make_train_step with a
+# 'model' mesh axis) flip this BEFORE tracing their step.
+_DEPTHWISE_SAFE_GRAD = False
+
+
+def set_depthwise_safe_grad(on: bool) -> None:
+    """Select the GSPMD-safe depthwise kernel-grad (see above).  Takes
+    effect at TRACE time — call before jitting a multi-axis-mesh step."""
+    global _DEPTHWISE_SAFE_GRAD
+    _DEPTHWISE_SAFE_GRAD = bool(on)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _depthwise_conv(x_pad: Array, kernel: Array,
                     strides: Tuple[int, int]) -> Array:
     """Depthwise conv on a pre-padded NHWC input, with a GSPMD-safe
     kernel gradient.
 
-    The stock gradient of a grouped conv w.r.t. its KERNEL lowers to a
-    conv with ``batch_group_count``, which XLA's SPMD partitioner
-    multiplies by the size of any unrelated mesh axis the program also
-    uses (measured: exactly 2x on a ('data','model') mesh with
-    model=2 — forward and input-grad are unaffected).  The custom
-    backward computes dk as kh*kw shifted elementwise products instead
-    (identical FLOPs, no grouped-conv-grad primitive).
+    The custom backward computes dk as kh*kw shifted elementwise
+    products (no grouped-conv-grad primitive, so the SPMD partitioner
+    cannot double it).
     """
     return jax.lax.conv_general_dilated(
         x_pad, kernel, window_strides=strides, padding="VALID",
@@ -110,17 +124,26 @@ def _depthwise_conv_bwd(strides, res, dy):
     dx, = pullback(dy)
     kh, kw, _, C = kernel.shape
     s0, s1 = strides
-    OH, OW = dy.shape[1], dy.shape[2]
+    B, OH, OW, _ = dy.shape
+    # kernel grad as kh*kw shifted products against the cotangent
+    # DILATED back to the stride-1 grid.  Unit-stride slices only:
+    # strided lax.slice taps measured MISCOMPILED (NaN) inside the
+    # fused EffB2 backward on TPU, while this layout is clean.
     dy32 = dy.astype(jnp.float32)
+    if s0 > 1 or s1 > 1:
+        d = dy32[:, :, None, :, None, :]               # [B,OH,1,OW,1,C]
+        d = jnp.pad(d, ((0, 0), (0, 0), (0, s0 - 1),
+                        (0, 0), (0, s1 - 1), (0, 0)))
+        d = d.reshape(B, OH * s0, OW * s1, C)
+        dy_dil = d[:, :(OH - 1) * s0 + 1, :(OW - 1) * s1 + 1, :]
+    else:
+        dy_dil = dy32
+    DH, DW = dy_dil.shape[1], dy_dil.shape[2]
     taps = []
     for i in range(kh):
         for j in range(kw):
-            xs = jax.lax.slice(
-                x_pad, (0, i, j, 0),
-                (x_pad.shape[0], i + (OH - 1) * s0 + 1,
-                 j + (OW - 1) * s1 + 1, x_pad.shape[3]),
-                (1, s0, s1, 1))
-            taps.append(jnp.sum(xs.astype(jnp.float32) * dy32,
+            xs = jax.lax.slice(x_pad, (0, i, j, 0), (B, i + DH, j + DW, C))
+            taps.append(jnp.sum(xs.astype(jnp.float32) * dy_dil,
                                 axis=(0, 1, 2)))
     dk = jnp.stack(taps).reshape(kh, kw, 1, C).astype(kernel.dtype)
     return dx, dk
@@ -163,9 +186,11 @@ class Conv2dSame(nn.Module):
         # and lax raises a dtype mismatch — bf16 training would break.
         # The f32 accumulation was rounded to compute_dtype on return
         # anyway (and the TPU MXU accumulates f32 internally regardless).
-        if self.groups > 1 and self.groups == x.shape[-1]:
-            # depthwise: custom vjp (see _depthwise_conv — the stock
-            # grouped-conv kernel-grad is wrong under multi-axis GSPMD)
+        if (self.groups > 1 and self.groups == x.shape[-1]
+                and _DEPTHWISE_SAFE_GRAD):
+            # depthwise under a multi-axis mesh: custom vjp (see
+            # _depthwise_conv — the stock grouped-conv kernel-grad is
+            # doubled by the SPMD partitioner there)
             x_pad = jnp.pad(x.astype(self.compute_dtype),
                             ((0, 0), pad[0], pad[1], (0, 0)))
             y = _depthwise_conv(x_pad,

@@ -50,7 +50,13 @@ DEFAULT_TP_RULES: List[Tuple[str, P]] = [
 
 def make_tp_mesh(devices: Optional[Sequence] = None,
                  model_parallel: int = 2) -> Mesh:
-    """2-D mesh [data, model]; model_parallel must divide #devices."""
+    """2-D mesh [data, model]; model_parallel must divide #devices.
+
+    Also switches depthwise convs to their GSPMD-safe kernel-grad
+    (models/layers.py) — the stock grouped-conv grad is doubled by the
+    SPMD partitioner on multi-axis meshes."""
+    from audiocaption_tpu.models.layers import set_depthwise_safe_grad
+    set_depthwise_safe_grad(True)
     if devices is None:
         devices = jax.devices()
     n = len(devices)

@@ -156,7 +156,11 @@ def make_train_step(model,
         # state, BN stats — is masked by ``ok``.  Zeroing the grads alone
         # is not enough: Adam's existing momentum would still move the
         # params, which the reference's skipped optimizer.step() doesn't.
-        ok = jnp.isfinite(loss)
+        # The guard also covers non-finite GRADS with a finite loss
+        # (possible in bf16 backward overflow) — one such step would
+        # poison the params permanently.
+        raw_grad_norm = optax.global_norm(grads)
+        ok = jnp.isfinite(loss) & jnp.isfinite(raw_grad_norm)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -171,8 +175,7 @@ def make_train_step(model,
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_stats, opt_state=new_opt,
                                   rng=rng)
-        grad_norm = optax.global_norm(grads)
-        metrics = {"loss": loss, "grad_norm": grad_norm,
+        metrics = {"loss": loss, "grad_norm": raw_grad_norm,
                    "skipped": ~ok}
         return new_state, metrics
 
@@ -182,7 +185,11 @@ def make_train_step(model,
     if "model" in mesh.axis_names:
         # tensor-parallel state (parallel/tp.py): the params carry their
         # own NamedShardings, so the step is placement-driven — jit
-        # propagates the layout and inserts the TP collectives.
+        # propagates the layout and inserts the TP collectives.  Flip
+        # depthwise convs to the partitioner-safe kernel-grad BEFORE the
+        # step traces (stock grouped-conv grads double on this mesh).
+        from audiocaption_tpu.models.layers import set_depthwise_safe_grad
+        set_depthwise_safe_grad(True)
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     repl = NamedSharding(mesh, P())

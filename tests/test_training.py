@@ -231,15 +231,25 @@ def test_train_step_tensor_parallel_mesh():
     assert any(k[-2:] == ("linear1", "kernel") for k in sharded)
     assert any(k[-2:] == ("q_proj", "kernel") for k in sharded)
 
-    step_tp = make_train_step(model, loss_fn, tx, mesh=mesh, donate=False)
-    step_single = make_train_step(model, loss_fn, tx, donate=False)
+    from audiocaption_tpu.models.layers import set_depthwise_safe_grad
+    try:
+        step_tp = make_train_step(model, loss_fn, tx, mesh=mesh,
+                                  donate=False)
+        step_single = make_train_step(model, loss_fn, tx, donate=False)
 
-    from audiocaption_tpu.parallel import shard_batch as sb
-    batch_tp = sb(batch8, mesh)
-    state_tp, metrics_tp = step_tp(state_tp, batch_tp, jnp.float32(1.0))
-    state_s, metrics_s = step_single(state, batch8, jnp.float32(1.0))
+        from audiocaption_tpu.parallel import shard_batch as sb
+        batch_tp = sb(batch8, mesh)
+        state_tp, metrics_tp = step_tp(state_tp, batch_tp,
+                                       jnp.float32(1.0))
+        state_s, metrics_s = step_single(state, batch8, jnp.float32(1.0))
+    finally:
+        set_depthwise_safe_grad(False)   # make_tp_mesh turned it on
     np.testing.assert_allclose(float(metrics_tp["loss"]),
                                float(metrics_s["loss"]), rtol=1e-4)
+    # RAW grad norms must also agree — the first-step Adam update is
+    # scale-invariant, so params alone cannot catch a grad-scaling bug
+    np.testing.assert_allclose(float(metrics_tp["grad_norm"]),
+                               float(metrics_s["grad_norm"]), rtol=1e-4)
     # updated (sharded) params equal the single-device update
     p_tp = jax.device_get(state_tp.params)
     p_s = jax.device_get(state_s.params)
@@ -254,7 +264,8 @@ def test_depthwise_conv_grad_exact_under_tp_mesh():
     with model=2) — the custom depthwise vjp in models/layers.py must
     keep it exact.  Regression for the dp x tp train step."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from audiocaption_tpu.models.layers import Conv2dSame
+    from audiocaption_tpu.models.layers import (
+        Conv2dSame, set_depthwise_safe_grad)
 
     mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
     rng = np.random.RandomState(0)
@@ -274,5 +285,9 @@ def test_depthwise_conv_grad_exact_under_tp_mesh():
     p_sh = jax.device_put(cv["params"], NamedSharding(mesh, P()))
     w_sh = jax.device_put(w_cls, NamedSharding(mesh, P(None, "model")))
     x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
-    g2 = jax.jit(jax.grad(loss))(p_sh, w_sh, x_sh)["kernel"]
+    set_depthwise_safe_grad(True)
+    try:
+        g2 = jax.jit(jax.grad(loss))(p_sh, w_sh, x_sh)["kernel"]
+    finally:
+        set_depthwise_safe_grad(False)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-5)
