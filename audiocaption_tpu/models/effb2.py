@@ -157,6 +157,8 @@ class EfficientNetB2(nn.Module):
     compute_dtype: Any = jnp.float32
     downsample_ratio: int = 32
     fc_emb_size: int = 1408
+    remat: bool = False   # rematerialize each MBConv block in backward
+                          # (trade FLOPs for HBM -> larger train batches)
 
     @nn.compact
     def __call__(self, lms: Array, feat_len: Array,
@@ -174,11 +176,13 @@ class EfficientNetB2(nn.Module):
 
         plan = _b2_block_plan()
         n_blocks = len(plan)
+        block_cls = (nn.remat(MBConvBlock, static_argnums=(2,))
+                     if self.remat else MBConvBlock)
         for idx, args in enumerate(plan):
-            x = MBConvBlock(
+            x = block_cls(
                 compute_dtype=cd,
                 drop_rate=self.drop_connect_rate * idx / n_blocks,
-                name=f"block{idx}", **args)(x, train=train)
+                name=f"block{idx}", **args)(x, train)
 
         head_filters = round_filters(1280, 1.1)
         x = Conv2dSame(head_filters, (1, 1), padding=0, compute_dtype=cd,

@@ -128,7 +128,8 @@ def build_model_from_config(model_cfg: Dict,
         if enc_cfg.get("pretrained"):
             pretrained.append(("encoder", enc_cfg["pretrained"], "cnn14"))
     elif enc_type == "EfficientNetB2":
-        encoder = EfficientNetB2(compute_dtype=compute_dtype)
+        encoder = EfficientNetB2(compute_dtype=compute_dtype,
+                                 remat=enc_args.get("remat", False))
         mel = EFFB2_MEL_16K
         sample_rate = 16000
         enc_out_dim = 1408

@@ -177,3 +177,35 @@ def test_mobilenet_v2_and_cnn14trm_registered():
     from audiocaption_tpu.models.encoders_extra import (
         MobileNetV2Encoder, Cnn14TransformerEncoder)
     assert MobileNetV2Encoder.downsample_ratio == 32
+
+
+def test_effb2_remat_matches():
+    """remat=True (per-MBConv rematerialization, trading FLOPs for HBM)
+    must not change the forward or the gradients beyond rounding."""
+    import flax.traverse_util as trav
+    from audiocaption_tpu.models.effb2 import EfficientNetB2
+
+    rng = np.random.RandomState(0)
+    lms = jnp.asarray(rng.randn(2, 101, 64), jnp.float32)
+    fl = jnp.asarray([101, 80])
+    m0 = EfficientNetB2()
+    m1 = EfficientNetB2(remat=True)
+    v = m0.init({"params": jax.random.PRNGKey(0)}, lms, fl, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(m0.apply(v, lms, fl)["fc_emb"]),
+        np.asarray(m1.apply(v, lms, fl)["fc_emb"]))
+
+    def loss(model, params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            lms, fl, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.sum(out["fc_emb"] ** 2)
+
+    g0 = jax.jit(jax.grad(lambda p: loss(m0, p)))(v["params"])
+    g1 = jax.jit(jax.grad(lambda p: loss(m1, p)))(v["params"])
+    f0 = np.concatenate([np.asarray(x).ravel()
+                         for x in trav.flatten_dict(g0).values()])
+    f1 = np.concatenate([np.asarray(x).ravel()
+                         for x in trav.flatten_dict(g1).values()])
+    assert np.linalg.norm(f0 - f1) / np.linalg.norm(f0) < 1e-4
