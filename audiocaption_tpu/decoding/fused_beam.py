@@ -488,9 +488,10 @@ class FusedBeamDecoder:
         if B <= self.max_kernel_batch:
             seq, score = self._run(wav, wav_len)
         else:
-            if B not in self._chunked_cache:
-                self._chunked_cache[B] = self._make_chunked(B)
-            seq, score = self._chunked_cache[B](wav, wav_len)
+            key = (B, self.max_kernel_batch)
+            if key not in self._chunked_cache:
+                self._chunked_cache[key] = self._make_chunked(B)
+            seq, score = self._chunked_cache[key](wav, wav_len)
         if n_best:
             return seq, score
         return seq[:, 0]

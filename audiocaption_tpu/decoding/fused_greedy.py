@@ -406,6 +406,7 @@ class FusedGreedyDecoder:
         B = wav.shape[0]
         if B <= self.max_kernel_batch:
             return self._run(wav, wav_len)
-        if B not in self._chunked_cache:
-            self._chunked_cache[B] = self._make_chunked(B)
-        return self._chunked_cache[B](wav, wav_len)
+        key = (B, self.max_kernel_batch)
+        if key not in self._chunked_cache:
+            self._chunked_cache[key] = self._make_chunked(B)
+        return self._chunked_cache[key](wav, wav_len)
