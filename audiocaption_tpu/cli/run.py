@@ -886,8 +886,9 @@ class Runner:
 
 
 def _pad_to_devices(batch: Dict, n: int) -> Dict:
-    """Pad the batch so its size divides the device count (the GSPMD
-    equivalent of DistributedSampler's padding)."""
+    """Pad the batch so its size divides the device count by REPEATING
+    leading rows — the same semantics as DistributedSampler's wraparound
+    padding (real samples double-counted, no garbage rows in the loss)."""
     B = len(batch["wav"])
     rem = (-B) % n
     if rem == 0:
@@ -895,11 +896,8 @@ def _pad_to_devices(batch: Dict, n: int) -> Dict:
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
-        pad_width = [(0, rem)] + [(0, 0)] * (v.ndim - 1)
-        out[k] = np.pad(v, pad_width)
-    # padded rows get cap_len >= 1 to avoid 0-length masks
-    if "cap_len" in out:
-        out["cap_len"][B:] = np.maximum(out["cap_len"][B:], 2)
+        reps = v[np.arange(rem) % B]
+        out[k] = np.concatenate([v, reps], axis=0)
     return out
 
 
