@@ -209,3 +209,36 @@ def test_effb2_remat_matches():
     f1 = np.concatenate([np.asarray(x).ravel()
                          for x in trav.flatten_dict(g1).values()])
     assert np.linalg.norm(f0 - f1) / np.linalg.norm(f0) < 1e-4
+
+
+def test_generate_data_parallel_mesh():
+    """Batched decode under a data mesh: beam search with the batch
+    sharded over 8 virtual devices produces the same tokens as the
+    single-device decode (multi-chip serving path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from audiocaption_tpu.models.captioner import generate
+    from audiocaption_tpu.parallel import make_mesh
+    from test_captioner import make_model, init_model
+
+    model = make_model("transformer")
+    variables, (wav, wav_len, cap, cap_len) = init_model(model)
+    wav8 = jnp.concatenate([wav] * 4, axis=0)
+    len8 = jnp.concatenate([wav_len] * 4, axis=0)
+
+    ref = np.asarray(generate(model, variables, wav8, len8,
+                              sample_method="beam", beam_size=3,
+                              max_length=8)["seq"])
+
+    mesh = make_mesh()
+    repl = NamedSharding(mesh, P())
+    v_r = jax.device_put(variables, repl)
+    wav_s = jax.device_put(wav8, NamedSharding(mesh, P("data")))
+    len_s = jax.device_put(len8, NamedSharding(mesh, P("data")))
+
+    @jax.jit
+    def decode(w, l):
+        return generate(model, v_r, w, l, sample_method="beam",
+                        beam_size=3, max_length=8)["seq"]
+
+    got = np.asarray(decode(wav_s, len_s))
+    np.testing.assert_array_equal(got, ref)
