@@ -153,7 +153,8 @@ def main():
         "unit": "clips/s",
         "vs_baseline": None,
         "workload": "batched 10s 16kHz clips, EffB2+Trm len20 bf16 "
-                    "(best of XLA beam-3 and fused-greedy-kernel)",
+                    "(best of XLA beam-3 / fused greedy / fused beam-3 "
+                    "whole-loop kernels)",
         "config": best_cfg,
         "device": str(jax.devices()[0]),
     }))
