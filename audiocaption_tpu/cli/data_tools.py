@@ -701,6 +701,10 @@ def pred_to_anno(prediction_input: str, annotation_output: str,
                                        "tokens": item["tokens"]}]})
     else:  # flat {audio_id: tokens} dict form (pred_to_anno.py:41-57)
         for aid, tokens in preds.items():
+            # the reference unconditionally slices aid[1:12] here — the
+            # AudioCaps "Y{youtube_id}.wav" to 11-char-id extraction
+            # (pred_to_anno.py:45)
+            aid = aid[1:12]
             if target is not None and aid not in target:
                 continue
             data.append({"audio_id": aid,
