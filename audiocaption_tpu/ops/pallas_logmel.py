@@ -125,7 +125,7 @@ def pallas_logmel(wav: jnp.ndarray, config: MelConfig) -> jnp.ndarray:
                           tile_rows=tile_rows),
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # waveform in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # waveform in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
