@@ -484,10 +484,13 @@ class Runner:
                 embs = dict(np.load(kd_cfg["teacher_emb"]))
                 tchr_dim = next(iter(embs.values())).shape[-1]
             elif teacher_emb_fwd is not None:
-                probe = next(iter(val_loader))
-                tchr_dim = int(teacher_emb_fwd(
-                    jnp.asarray(probe["wav"][:1]),
-                    jnp.asarray(probe["wav_len"][:1])).shape[-1])
+                # abstract trace only — deriving the teacher embedding
+                # width must not trigger a compile (or depend on the
+                # val loader being non-empty)
+                tchr_dim = int(jax.eval_shape(
+                    teacher_emb_fwd,
+                    jax.ShapeDtypeStruct((1, 32000), jnp.float32),
+                    jax.ShapeDtypeStruct((1,), jnp.int32)).shape[-1])
             else:
                 raise ValueError(
                     "enc KD needs kd.teacher_emb (npz) or kd.teacher "

@@ -466,11 +466,12 @@ class FusedBeamDecoder:
                 memk, memv, mem_valid = prepare(w, wl)
                 seqs, scores = [], []
                 for i in range(0, B, mb):
-                    mk = tuple(jax.lax.slice_in_dim(m, i, i + mb, axis=1)
+                    end = min(i + mb, B)  # final chunk may be short
+                    mk = tuple(jax.lax.slice_in_dim(m, i, end, axis=1)
                                for m in memk)
-                    mv = tuple(jax.lax.slice_in_dim(m, i, i + mb, axis=1)
+                    mv = tuple(jax.lax.slice_in_dim(m, i, end, axis=1)
                                for m in memv)
-                    valid = jax.lax.slice_in_dim(mem_valid, i, i + mb,
+                    valid = jax.lax.slice_in_dim(mem_valid, i, end,
                                                  axis=1)
                     s, sc = _fused_beam_call(dec, max_length, beam_size,
                                              packed_j, mk, mv, valid)

@@ -391,9 +391,10 @@ class FusedGreedyDecoder:
             def run_chunked(w, wl):
                 outs = []
                 for i in range(0, B, mb):
+                    end = min(i + mb, B)  # final chunk may be short
                     memk, memv, valid = prepare(
-                        jax.lax.slice_in_dim(w, i, i + mb, axis=0),
-                        jax.lax.slice_in_dim(wl, i, i + mb, axis=0))
+                        jax.lax.slice_in_dim(w, i, end, axis=0),
+                        jax.lax.slice_in_dim(wl, i, end, axis=0))
                     outs.append(_fused_decode_call(
                         dec, max_length, packed, memk, memv, valid))
                 return jnp.concatenate(outs, axis=0)

@@ -42,9 +42,29 @@ def evaluate_captions(key2pred: Dict[str, List[str]],
     if use_java is None:
         use_java = _java_available() and _try_pycoco() is not None
 
+    skipped: List[str] = []
     if not zh:
-        key2pred = ptb_tokenize(key2pred)
-        key2refs = ptb_tokenize(key2refs)
+        # the reference scores PTB-tokenized captions (base.py:101-110);
+        # prefer the Java tokenizer for bit-compatibility, else use the
+        # regex approximation and SAY SO — scores over differently
+        # tokenized captions are not reference-comparable
+        PTB = _try_pycoco() if use_java else None
+        tokenized = False
+        if PTB is not None:
+            try:
+                tok = PTB()
+                fmt = lambda d: {k: [{"caption": c} for c in v]
+                                 for k, v in d.items()}
+                key2pred = tok.tokenize(fmt(key2pred))
+                key2refs = tok.tokenize(fmt(key2refs))
+                tokenized = True
+            except Exception:
+                pass
+        if not tokenized:
+            key2pred = ptb_tokenize(key2pred)
+            key2refs = ptb_tokenize(key2refs)
+            skipped.append("ptb_tokenizer (regex substitute — scores "
+                           "not bit-comparable to pycocoevalcap)")
 
     result: Dict = {}
     bleu, bleu_per_key = corpus_bleu(key2pred, key2refs)
@@ -54,7 +74,6 @@ def evaluate_captions(key2pred: Dict[str, List[str]],
     cider = CiderD()
     result["cider"], cider_scores = cider.compute_score(key2refs, key2pred)
 
-    skipped: List[str] = []
     if use_java:
         try:
             from pycocoevalcap.meteor.meteor import Meteor

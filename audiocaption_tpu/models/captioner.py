@@ -91,7 +91,8 @@ class Captioner(nn.Module):
                  cap_len: Array, ss_ratio: float = 1.0, train: bool = True,
                  specaug: bool = False,
                  temporal_tag: Optional[Array] = None,
-                 cond_kwargs: Optional[Dict[str, Array]] = None
+                 cond_kwargs: Optional[Dict[str, Array]] = None,
+                 ss_impl: str = "cached"
                  ) -> Dict[str, Array]:
         """Training forward.  ``ss_ratio`` must be a static python float
         when 1.0 is meant to select the parallel teacher-forcing path
@@ -106,6 +107,9 @@ class Captioner(nn.Module):
         full_teacher = isinstance(ss_ratio, float) and ss_ratio == 1.0
         if self.is_transformer and full_teacher:
             out = self._seq_forward(enc, cap, train, cond)
+        elif self.is_transformer and ss_impl == "recompute":
+            out = self._ss_forward_transformer_recompute(
+                enc, cap, ss_ratio, train)
         elif self.is_transformer:
             out = self._ss_forward_transformer(enc, cap, ss_ratio, train)
         else:
@@ -132,11 +136,62 @@ class Captioner(nn.Module):
 
     def _ss_forward_transformer(self, enc: Dict[str, Array], cap: Array,
                                 ss_ratio, train: bool) -> Dict[str, Array]:
-        """Scheduled-sampling step-wise forward: at each step feed either
-        the teacher prefix cap[:, :t+1] or <bos>+model words
-        (transformer_model.py:34-57).  Recomputes the prefix per step,
-        exactly like the reference (no cache can represent a prefix
-        whose identity changes per step)."""
+        """Scheduled-sampling forward with KV-cache reuse.
+
+        Per step the reference feeds either the whole teacher prefix
+        cap[:, :t+1] or <bos>+model words (transformer_model.py:34-57)
+        and re-runs the decoder on it — O(L) redundant decoder work per
+        step.  The identity split that removes it:
+
+          * coin=teacher at step t: the prefix is exactly cap[:, :t+1],
+            so the step-t logit EQUALS the full-teacher-forcing logit at
+            position t — ONE parallel causal pass serves every
+            teacher-coin step (MXU-friendly, same program as
+            _seq_forward);
+          * coin=model: the prefix is <bos> + previously sampled words,
+            which only ever APPENDS across steps — a KV cache over the
+            model prefix stays valid and each step is O(1) decoder work.
+
+        Eval-mode logits are identical to the per-step recompute (see
+        _ss_forward_transformer_recompute, kept as the parity oracle).
+        Under dropout the two paths draw different noise by construction
+        (cached K/V keep the noise of the step that wrote them; the
+        reference redraws over the whole prefix every step) — both are
+        unbiased dropout, only the correlation structure differs."""
+        B, Lc = cap.shape
+        max_length = Lc - 1
+        word = cap[:, :-1].astype(jnp.int32)
+        t_out = self.decoder(word, enc["attn_emb"], enc["attn_emb_len"],
+                             cap_padding_mask=word == self.special.pad,
+                             train=train)
+        static, dyn = self.decoder.init_cache(
+            enc["attn_emb"], enc["attn_emb_len"], max_length)
+        prev_word = jnp.full((B,), self.special.bos, jnp.int32)
+        logits, embeds, seqs, lps = [], [], [], []
+        for t in range(max_length):
+            coin = self._ss_coin(ss_ratio)
+            m_hidden, dyn = self.decoder._step_hidden(
+                prev_word, jnp.int32(t), static, dyn,
+                is_pad_t=prev_word == self.special.pad, train=train)
+            m_logit = self.decoder._logits(m_hidden).astype(jnp.float32)
+            logit_t = jnp.where(coin, t_out["logit"][:, t], m_logit)
+            embed_t = jnp.where(coin, t_out["embed"][:, t], m_hidden)
+            w_t, lp_t = sample_next_word(logit_t, "greedy", 1.0, None)
+            prev_word = w_t
+            logits.append(logit_t)
+            embeds.append(embed_t)
+            seqs.append(w_t)
+            lps.append(lp_t)
+        return {"logit": jnp.stack(logits, 1), "embed": jnp.stack(embeds, 1),
+                "seq": jnp.stack(seqs, 1),
+                "sampled_logprob": jnp.stack(lps, 1)}
+
+    def _ss_forward_transformer_recompute(self, enc: Dict[str, Array],
+                                          cap: Array, ss_ratio,
+                                          train: bool) -> Dict[str, Array]:
+        """Reference-shaped oracle: re-run the decoder on the whole
+        selected prefix each step (transformer_model.py:34-57).  Kept
+        only for the logit-parity test against the cached fast path."""
         B, Lc = cap.shape
         max_length = Lc - 1
         model_prefix = jnp.full((B, Lc), self.special.bos, jnp.int32)

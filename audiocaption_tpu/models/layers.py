@@ -12,6 +12,7 @@ the MXU runs at full rate while accumulating in float32.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 from typing import Any, Callable, Optional, Sequence, Tuple
@@ -90,6 +91,20 @@ def set_depthwise_safe_grad(on: bool) -> None:
     effect at TRACE time — call before jitting a multi-axis-mesh step."""
     global _DEPTHWISE_SAFE_GRAD
     _DEPTHWISE_SAFE_GRAD = bool(on)
+
+
+@contextlib.contextmanager
+def depthwise_safe_grad(on: bool = True):
+    """Scope the safe-grad flag to a trace: the TP train step wraps its
+    body in this so single-device/1-D-mesh steps traced later in the
+    same process keep the fast stock grouped-conv backward."""
+    global _DEPTHWISE_SAFE_GRAD
+    prev = _DEPTHWISE_SAFE_GRAD
+    _DEPTHWISE_SAFE_GRAD = bool(on)
+    try:
+        yield
+    finally:
+        _DEPTHWISE_SAFE_GRAD = prev
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -488,13 +503,14 @@ class MultiheadAttention(nn.Module):
         return self.k_proj(key), self.v_proj(value)
 
     def attend_step(self, q_t: Array, k: Array, v: Array,
-                    key_padding_mask: Optional[Array]) -> Array:
+                    key_padding_mask: Optional[Array],
+                    train: bool = False) -> Array:
         """Single-token attention over cached K/V.
 
         q_t: [B, E]; k/v: [B, S, E]; key_padding_mask: [B, S] True=masked.
         """
         q = self.q_proj(q_t[:, None, :])
-        out = self._attend(q, k, v, key_padding_mask, None, False)
+        out = self._attend(q, k, v, key_padding_mask, None, train)
         return out[:, 0, :]
 
 
@@ -576,22 +592,31 @@ class TransformerDecoderLayer(nn.Module):
              self_kpm: Array,                     # [B, L_max] True=masked
              mem_k: Array, mem_v: Array,          # [B, S, E]
              memory_key_padding_mask: Optional[Array],
+             train: bool = False,
              ) -> Tuple[Array, Array, Array]:
         """One decode step at position ``t`` (traced scalar).
 
         Returns (out_t [B, E], updated self_k, updated self_v).  The
         caller maintains ``self_kpm`` so that positions > t and pad
         tokens are masked (== torch causal + tgt_key_padding masking).
+
+        ``train=True`` applies the same dropout placements as __call__
+        (scheduled-sampling training decodes through this path); cached
+        K/V keep the noise of the step that produced them.
         """
+        drop = lambda y: (self.dropout_layer(y, deterministic=False)
+                          if train and self.dropout > 0 else y)
         k_t, v_t = self.self_attn.project_kv(x_t[:, None, :], x_t[:, None, :])
         self_k = jax.lax.dynamic_update_slice_in_dim(self_k, k_t, t, axis=1)
         self_v = jax.lax.dynamic_update_slice_in_dim(self_v, v_t, t, axis=1)
-        sa = self.self_attn.attend_step(x_t, self_k, self_v, self_kpm)
-        x = self.norm1(x_t + sa)
+        sa = self.self_attn.attend_step(x_t, self_k, self_v, self_kpm,
+                                        train=train)
+        x = self.norm1(x_t + drop(sa))
         ca = self.cross_attn.attend_step(x, mem_k, mem_v,
-                                         memory_key_padding_mask)
-        x = self.norm2(x + ca)
-        x = self.norm3(x + self._ffn(x, lambda y: y))
+                                         memory_key_padding_mask,
+                                         train=train)
+        x = self.norm2(x + drop(ca))
+        x = self.norm3(x + drop(self._ffn(x, drop)))
         return x, self_k, self_v
 
 

@@ -170,12 +170,19 @@ class TransformerDecoder(nn.Module):
         dyn["self_pad"] = jnp.zeros((B, max_length), bool)
         return static, dyn
 
-    def step(self, word_t: Array, t: Array, static: Dict[str, Any],
-             dyn: Dict[str, Any], is_pad_t: Optional[Array] = None
-             ) -> Tuple[Array, Dict[str, Any]]:
-        """One decode step. word_t: [B] ids; t: traced position scalar.
+    def _embed_step(self, word_t: Array, t: Array, train: bool,
+                    static: Dict[str, Any]) -> Array:
+        """Embed the single fed token (subclass hook: the conditioned
+        decoders add static['cond'] here)."""
+        return self._embed(word_t[:, None], t, train)[:, 0]
 
-        Returns (logit [B, V], updated dynamic cache).
+    def _step_hidden(self, word_t: Array, t: Array, static: Dict[str, Any],
+                     dyn: Dict[str, Any], is_pad_t: Optional[Array] = None,
+                     train: bool = False
+                     ) -> Tuple[Array, Dict[str, Any]]:
+        """One decode step up to the final hidden state (pre-classifier).
+
+        Returns (hidden [B, E] float32, updated dynamic cache).
         """
         B = word_t.shape[0]
         L = dyn["self_k0"].shape[1]
@@ -185,14 +192,24 @@ class TransformerDecoder(nn.Module):
             dyn["self_pad"], is_pad_t[:, None], t, axis=1)
         # mask: future positions OR pad tokens
         kpm = (jnp.arange(L)[None, :] > t) | self_pad
-        x = self._embed(word_t[:, None], t, False)[:, 0]
+        x = self._embed_step(word_t, t, train, static)
         new_dyn = {"self_pad": self_pad}
         for i, layer in enumerate(self.layers):
             x, sk, sv = layer.step(
                 x, t, dyn[f"self_k{i}"], dyn[f"self_v{i}"], kpm,
-                static[f"mem_k{i}"], static[f"mem_v{i}"], static["mem_kpm"])
+                static[f"mem_k{i}"], static[f"mem_v{i}"], static["mem_kpm"],
+                train=train)
             new_dyn[f"self_k{i}"], new_dyn[f"self_v{i}"] = sk, sv
-        x = x.astype(jnp.float32)
+        return x.astype(jnp.float32), new_dyn
+
+    def step(self, word_t: Array, t: Array, static: Dict[str, Any],
+             dyn: Dict[str, Any], is_pad_t: Optional[Array] = None
+             ) -> Tuple[Array, Dict[str, Any]]:
+        """One decode step. word_t: [B] ids; t: traced position scalar.
+
+        Returns (logit [B, V], updated dynamic cache).
+        """
+        x, new_dyn = self._step_hidden(word_t, t, static, dyn, is_pad_t)
         return self._logits(x).astype(jnp.float32), new_dyn
 
 
@@ -279,25 +296,9 @@ class EventTransformerDecoder(TransformerDecoder):
             static["cond"] = self.encode_event(event)
         return static, dyn
 
-    def step(self, word_t, t, static, dyn, is_pad_t=None):
-        B = word_t.shape[0]
-        L = dyn["self_k0"].shape[1]
-        if is_pad_t is None:
-            is_pad_t = jnp.zeros((B,), bool)
-        self_pad = jax.lax.dynamic_update_slice_in_dim(
-            dyn["self_pad"], is_pad_t[:, None], t, axis=1)
-        kpm = (jnp.arange(L)[None, :] > t) | self_pad
-        cond = static.get("cond")
-        x = self._embed(word_t[:, None], t, False, cond)[:, 0]
-        new_dyn = {"self_pad": self_pad}
-        for i, layer in enumerate(self.layers):
-            x, sk, sv = layer.step(
-                x, t, dyn[f"self_k{i}"], dyn[f"self_v{i}"], kpm,
-                static[f"mem_k{i}"], static[f"mem_v{i}"],
-                static["mem_kpm"])
-            new_dyn[f"self_k{i}"], new_dyn[f"self_v{i}"] = sk, sv
-        x = x.astype(jnp.float32)
-        return self._logits(x).astype(jnp.float32), new_dyn
+    def _embed_step(self, word_t, t, train, static):
+        return self._embed(word_t[:, None], t, train,
+                           static.get("cond"))[:, 0]
 
 
 class KeywordProbTransformerDecoder(EventTransformerDecoder):

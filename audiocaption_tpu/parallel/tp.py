@@ -52,11 +52,10 @@ def make_tp_mesh(devices: Optional[Sequence] = None,
                  model_parallel: int = 2) -> Mesh:
     """2-D mesh [data, model]; model_parallel must divide #devices.
 
-    Also switches depthwise convs to their GSPMD-safe kernel-grad
-    (models/layers.py) — the stock grouped-conv grad is doubled by the
-    SPMD partitioner on multi-axis meshes."""
-    from audiocaption_tpu.models.layers import set_depthwise_safe_grad
-    set_depthwise_safe_grad(True)
+    Note: the GSPMD-safe depthwise kernel-grad (models/layers.py) is
+    scoped into the TP train step's trace by make_train_step — this
+    function no longer flips the process-global flag (it used to, which
+    silently slowed every later single-device step in the process)."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)

@@ -185,12 +185,26 @@ def make_train_step(model,
     if "model" in mesh.axis_names:
         # tensor-parallel state (parallel/tp.py): the params carry their
         # own NamedShardings, so the step is placement-driven — jit
-        # propagates the layout and inserts the TP collectives.  Flip
-        # depthwise convs to the partitioner-safe kernel-grad BEFORE the
-        # step traces (stock grouped-conv grads double on this mesh).
-        from audiocaption_tpu.models.layers import set_depthwise_safe_grad
-        set_depthwise_safe_grad(True)
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        # propagates the layout and inserts the TP collectives.  The
+        # depthwise convs use the partitioner-safe kernel-grad, scoped
+        # to THIS trace (stock grouped-conv grads double on multi-axis
+        # meshes; the safe path is slower, so steps traced later on 1-D
+        # meshes must not inherit it).  The batch is pinned to the
+        # 'data' axis inside the trace — placement alone would silently
+        # replicate an uncommitted host batch across the mesh.
+        from audiocaption_tpu.models.layers import depthwise_safe_grad
+
+        batch_spec = lambda x: NamedSharding(
+            mesh, P(axis_name) if getattr(x, "ndim", 0) else P())
+
+        def tp_step_fn(state, batch, ss_ratio):
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, batch_spec(x)), batch)
+            with depthwise_safe_grad(True):
+                return step_fn(state, batch, ss_ratio)
+
+        return jax.jit(tp_step_fn, donate_argnums=(0,) if donate else ())
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))

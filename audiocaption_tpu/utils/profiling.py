@@ -49,7 +49,11 @@ class StepTimer:
 def flops_estimate(fn: Callable, *args) -> Dict[str, float]:
     """Estimate FLOPs / bytes of a jitted function via XLA cost analysis
     (replaces the reference's torch FLOPs counters,
-    flops_counting_model.py:297-375)."""
+    flops_counting_model.py:297-375).
+
+    Note: XLA's cost analysis counts a ``while`` loop body ONCE — for
+    decode loops, estimate an equivalent loop-free program (e.g. the
+    full teacher-forcing forward) instead."""
     lowered = jax.jit(fn).lower(*args)
     compiled = lowered.compile()
     analysis = compiled.cost_analysis()
@@ -57,3 +61,36 @@ def flops_estimate(fn: Callable, *args) -> Dict[str, float]:
         analysis = analysis[0]
     return {"flops": float(analysis.get("flops", -1.0)),
             "bytes_accessed": float(analysis.get("bytes accessed", -1.0))}
+
+
+# peak dense bf16 matmul throughput per chip, FLOP/s (public spec
+# sheets; used only to anchor MFU numbers in bench output)
+_PEAK_BF16_FLOPS = (
+    ("v6", 918e12),       # Trillium
+    ("v5p", 459e12),
+    ("v5 lite", 394e12),  # v5e device_kind is "TPU v5 lite..."
+    ("v5e", 394e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+)
+
+
+def device_peak_flops(device=None) -> Optional[float]:
+    """Peak bf16 FLOP/s of a device by its device_kind, or None when
+    unknown (e.g. CPU)."""
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _PEAK_BF16_FLOPS:
+        if key in kind:
+            return peak
+    return None
+
+
+def mfu(flops: float, seconds: float, device=None) -> Optional[float]:
+    """Model FLOPs utilization: useful-work FLOPs / (time * peak)."""
+    peak = device_peak_flops(device)
+    if not peak or seconds <= 0 or flops <= 0:
+        return None
+    return flops / seconds / peak

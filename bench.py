@@ -46,9 +46,44 @@ def _bench_fn(fn, args, iters=20, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def _workload_flops(model, variables, sr, seconds, max_length):
+    """Per-clip useful-work FLOPs for greedy and beam-3 decode, via XLA
+    cost analysis on the CPU backend (fast local compile; flops counts
+    are backend-independent at HLO level).
+
+    XLA counts while-loop bodies once, so the decode loop is estimated
+    through its loop-free equivalent: the full teacher-forcing forward
+    (same matmul work as a greedy decode of max_length tokens).  Beam-K
+    decode = encoder + K x decoder, so decoder flops are separated via
+    an encoder-only analysis.
+    """
+    from audiocaption_tpu.models.captioner import Captioner
+    from audiocaption_tpu.utils.profiling import flops_estimate
+
+    B = 8  # flops scale linearly in batch; keep the CPU compile cheap
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        vars_cpu = jax.device_put(jax.device_get(variables), cpu)
+        wav = jnp.zeros((B, seconds * sr), jnp.float32)
+        wl = jnp.full((B,), seconds * sr, jnp.int32)
+        cap = jnp.ones((B, max_length + 1), jnp.int32)
+        cl = jnp.full((B,), max_length + 1, jnp.int32)
+        enc_f = flops_estimate(
+            lambda w, l: model.apply(vars_cpu, w, l,
+                                     method=Captioner.encode), wav, wl)
+        full_f = flops_estimate(
+            lambda w, l, c, n: model.apply(
+                vars_cpu, w, l, c, n, ss_ratio=1.0, train=False),
+            wav, wl, cap, cl)
+    enc, full = enc_f["flops"] / B, full_f["flops"] / B
+    dec = max(full - enc, 0.0)
+    return {"greedy": full, "beam3": enc + 3.0 * dec}
+
+
 def main():
     from audiocaption_tpu.models.captioner import generate
     from audiocaption_tpu.models.zoo import effb2_trm
+    from audiocaption_tpu.utils.profiling import device_peak_flops
 
     sr, seconds = 16000, 10
     vocab = 4981
@@ -147,6 +182,27 @@ def main():
         print(f"diagnostics failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # MFU: useful-work FLOPs per clip (cost analysis on the CPU backend,
+    # see _workload_flops) over achieved clips/s vs the chip's bf16 peak
+    mfu_fields = {}
+    try:
+        fl = _workload_flops(model, variables, sr, seconds, 20)
+        peak = device_peak_flops()
+        method = "greedy" if "greedy" in (best_cfg or "") else "beam3"
+        achieved = best * fl[method]
+        print(f"flops/clip greedy={fl['greedy']/1e9:.2f}G "
+              f"beam3={fl['beam3']/1e9:.2f}G; best path achieves "
+              f"{achieved/1e12:.2f} TFLOP/s", file=sys.stderr)
+        mfu_fields = {
+            "flops_per_clip": round(fl[method], 0),
+            "achieved_tflops": round(achieved / 1e12, 3),
+            "peak_bf16_tflops": round(peak / 1e12, 1) if peak else None,
+            "mfu": round(achieved / peak, 4) if peak else None,
+        }
+    except Exception as e:
+        print(f"mfu estimate failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "clips_per_sec_per_chip",
         "value": round(best, 2),
@@ -157,6 +213,7 @@ def main():
                     "whole-loop kernels)",
         "config": best_cfg,
         "device": str(jax.devices()[0]),
+        **mfu_fields,
     }))
 
 

@@ -39,6 +39,48 @@ def main():
 
     rng = np.random.RandomState(0)
 
+    # train-step useful-work FLOPs per clip: XLA cost analysis of the
+    # teacher-forcing fwd+bwd on the CPU backend at small B (scales
+    # linearly in batch; no while loop in this program)
+    flops_per_clip = None
+    try:
+        from audiocaption_tpu.utils.profiling import (
+            device_peak_flops, flops_estimate)
+        Bf = 8
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            vc = jax.device_put(variables, cpu)
+
+            def fwd_bwd(w, l, c, n):
+                def loss_of(params):
+                    out = model.apply(
+                        {"params": params,
+                         "batch_stats": vc["batch_stats"]},
+                        w, l, c, n, ss_ratio=1.0, train=True,
+                        mutable=["batch_stats"],
+                        rngs={"sample": jax.random.PRNGKey(0),
+                              "dropout": jax.random.PRNGKey(1)})[0]
+                    return masked_token_loss("label_smoothing", 0.1)(
+                        dict(out, tgt=c[:, 1:], tgt_len=n - 1))
+                return jax.grad(loss_of)(vc["params"])
+
+            f = flops_estimate(
+                fwd_bwd, jnp.zeros((Bf, 10 * sr), jnp.float32),
+                jnp.full((Bf,), 10 * sr, jnp.int32),
+                jnp.ones((Bf, Lc), jnp.int32),
+                jnp.full((Bf,), Lc, jnp.int32))
+        flops_per_clip = f["flops"] / Bf
+        print(f"train fwd+bwd flops/clip (teacher forcing): "
+              f"{flops_per_clip/1e9:.2f}G", flush=True)
+    except Exception as e:
+        print(f"flops estimate failed: {type(e).__name__}: {e}",
+              flush=True)
+    peak = None
+    try:
+        peak = device_peak_flops()
+    except Exception:
+        pass
+
     for use_ss in (False, True):
         step = make_train_step(model,
                                masked_token_loss("label_smoothing", 0.1),
@@ -65,9 +107,14 @@ def main():
                 state, metrics = step(state, batch, ssr)
             _ = float(metrics["loss"])
             dt = (time.perf_counter() - t0) / n
+            mfu_s = ""
+            if flops_per_clip and peak:
+                mfu = B * flops_per_clip / dt / peak
+                mfu_s = (f" {B*flops_per_clip/dt/1e12:.2f} TFLOP/s"
+                         f" mfu={mfu:.3f}")
             print(f"train ss={'on' if use_ss else 'off'} B={B}: "
                   f"{dt*1e3:.1f} ms/step, {B/dt:.1f} clips/s "
-                  f"loss={float(metrics['loss']):.3f}", flush=True)
+                  f"loss={float(metrics['loss']):.3f}{mfu_s}", flush=True)
 
 
 if __name__ == "__main__":

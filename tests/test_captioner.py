@@ -94,6 +94,50 @@ def test_transformer_teacher_forcing_matches_stepwise_ss1():
                                np.asarray(stepwise["logit"]), atol=1e-5)
 
 
+@pytest.mark.parametrize("ss_ratio", [0.0, 0.5, 0.99999])
+def test_ss_cached_matches_recompute(ss_ratio):
+    """The KV-cache-reusing scheduled-sampling forward must be
+    logit/embed/seq-identical (eval mode: no dropout noise) to the
+    reference-shaped per-step prefix recompute, at pure-model coin
+    (0.0), mixed (0.5), and pure-teacher (~1.0) ratios.  Same 'sample'
+    rng => identical coin draws in both paths (one draw per step)."""
+    model = make_model("transformer")
+    variables, (wav, wav_len, cap, cap_len) = init_model(model)
+    rngs = {"sample": jax.random.PRNGKey(7)}
+    fast = model.apply(variables, wav, wav_len, cap, cap_len,
+                       ss_ratio=ss_ratio, train=False, rngs=rngs)
+    ref = model.apply(variables, wav, wav_len, cap, cap_len,
+                      ss_ratio=ss_ratio, train=False,
+                      ss_impl="recompute", rngs=rngs)
+    np.testing.assert_array_equal(np.asarray(fast["seq"]),
+                                  np.asarray(ref["seq"]))
+    np.testing.assert_allclose(np.asarray(fast["logit"]),
+                               np.asarray(ref["logit"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fast["embed"]),
+                               np.asarray(ref["embed"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fast["sampled_logprob"]),
+                               np.asarray(ref["sampled_logprob"]),
+                               atol=2e-5)
+
+
+def test_ss_cached_train_mode_runs_with_dropout():
+    """Dropout draws differ between the cached and recompute paths by
+    construction; here we only assert the train-mode cached path runs
+    and produces finite outputs with dropout active."""
+    enc = TinyEncoder()
+    dec = TransformerDecoder(emb_dim=32, vocab_size=V, attn_emb_dim=16,
+                             dropout=0.2, nlayers=2, nhead=2)
+    model = Captioner(encoder=enc, decoder=dec, mel=CNN14_MEL_32K,
+                      special=SPECIAL)
+    variables, (wav, wav_len, cap, cap_len) = init_model(
+        model, ss_ratio=0.7)
+    out = model.apply(variables, wav, wav_len, cap, cap_len, ss_ratio=0.7,
+                      train=True,
+                      rngs={"sample": jax.random.PRNGKey(5),
+                            "dropout": jax.random.PRNGKey(6)})
+    assert np.isfinite(np.asarray(out["logit"])).all()
+
+
 @pytest.mark.parametrize("family", ["transformer", "rnn"])
 @pytest.mark.parametrize("method", ["greedy", "beam", "dbs", "top3"])
 def test_generate_paths(family, method):

@@ -47,14 +47,16 @@ def test_fused_beam_interpret_token_parity(interp):
 
 @pytest.mark.slow
 def test_fused_beam_chunked_parity(interp):
-    """B > max_kernel_batch: one full-batch encode, kernel per memory
-    slice — beams and scores must match the whole-batch engine."""
+    """B > max_kernel_batch, B NOT a multiple of it (regression: the
+    unclamped slice raised at trace time): one full-batch encode,
+    kernel per memory slice — beams and scores must match the
+    whole-batch engine."""
     from audiocaption_tpu.models.captioner import generate
     from test_fused_greedy import _small_model
     model, variables = _small_model()
-    wav = jnp.asarray(np.random.RandomState(2).randn(4, 16000),
+    wav = jnp.asarray(np.random.RandomState(2).randn(5, 16000),
                       jnp.float32)
-    lens = jnp.asarray([16000, 9000, 12000, 7000])
+    lens = jnp.asarray([16000, 9000, 12000, 7000, 15000])
     ref = generate(model, variables, wav, lens, sample_method="beam",
                    beam_size=2, max_length=6, n_best=True, n_best_size=2)
     fb = interp.FusedBeamDecoder(model, variables, max_length=6,

@@ -130,13 +130,14 @@ def test_fused_kernel_interpret_token_parity(interp):
 
 
 def test_fused_kernel_chunked_parity(interp):
-    """B > max_kernel_batch: the chunked path must match the
-    whole-batch engine decode token-for-token."""
+    """B > max_kernel_batch, B NOT a multiple of it (regression: the
+    unclamped slice raised at trace time): the chunked path must match
+    the whole-batch engine decode token-for-token."""
     from audiocaption_tpu.models.captioner import generate
     model, variables = _small_model()
-    wav = jnp.asarray(np.random.RandomState(1).randn(4, 16000),
+    wav = jnp.asarray(np.random.RandomState(1).randn(5, 16000),
                       jnp.float32)
-    lens = jnp.asarray([16000, 9000, 12000, 7000])
+    lens = jnp.asarray([16000, 9000, 12000, 7000, 15000])
     ref = np.asarray(generate(model, variables, wav, lens,
                               sample_method="greedy", max_length=8)["seq"])
     fd = interp.FusedGreedyDecoder(model, variables, max_length=8)

@@ -231,19 +231,19 @@ def test_train_step_tensor_parallel_mesh():
     assert any(k[-2:] == ("linear1", "kernel") for k in sharded)
     assert any(k[-2:] == ("q_proj", "kernel") for k in sharded)
 
-    from audiocaption_tpu.models.layers import set_depthwise_safe_grad
-    try:
-        step_tp = make_train_step(model, loss_fn, tx, mesh=mesh,
-                                  donate=False)
-        step_single = make_train_step(model, loss_fn, tx, donate=False)
+    import audiocaption_tpu.models.layers as _layers
+    step_tp = make_train_step(model, loss_fn, tx, mesh=mesh,
+                              donate=False)
+    step_single = make_train_step(model, loss_fn, tx, donate=False)
 
-        from audiocaption_tpu.parallel import shard_batch as sb
-        batch_tp = sb(batch8, mesh)
-        state_tp, metrics_tp = step_tp(state_tp, batch_tp,
-                                       jnp.float32(1.0))
-        state_s, metrics_s = step_single(state, batch8, jnp.float32(1.0))
-    finally:
-        set_depthwise_safe_grad(False)   # make_tp_mesh turned it on
+    from audiocaption_tpu.parallel import shard_batch as sb
+    batch_tp = sb(batch8, mesh)
+    state_tp, metrics_tp = step_tp(state_tp, batch_tp,
+                                   jnp.float32(1.0))
+    # the safe-grad flag is scoped to the TP trace — it must NOT leak
+    # into later single-device traces in this process
+    assert _layers._DEPTHWISE_SAFE_GRAD is False
+    state_s, metrics_s = step_single(state, batch8, jnp.float32(1.0))
     np.testing.assert_allclose(float(metrics_tp["loss"]),
                                float(metrics_s["loss"]), rtol=1e-4)
     # RAW grad norms must also agree — the first-step Adam update is
