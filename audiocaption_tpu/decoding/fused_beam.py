@@ -55,6 +55,9 @@ def _ln(x, ln):
 def _mha_lanes(q, kcache, vcache, valid, nhead):
     """q: [N, H*HPAD]; kcache/vcache: [T, N, H*HPAD]; valid: [T, N].
 
+    K/V caches may be stored bf16 (halving their VMEM so the kernel
+    batch can double); scores/attention always accumulate in f32.
+
     NOTE: slice-then-expand (`q[:, sl][None]`, never `q[None, :, sl]`):
     mixing None with a slice sends jnp indexing down the gather path,
     which Mosaic cannot lower."""
@@ -63,8 +66,8 @@ def _mha_lanes(q, kcache, vcache, valid, nhead):
     for h in range(nhead):
         sl = slice(h * HPAD, (h + 1) * HPAD)
         qh = q[:, sl]
-        kh = kcache[:, :, sl]
-        vh = vcache[:, :, sl]
+        kh = kcache[:, :, sl].astype(jnp.float32)
+        vh = vcache[:, :, sl].astype(jnp.float32)
         scores = jnp.sum(qh[None] * kh, axis=-1)
         scores = jnp.where(valid, scores, neg)
         m = jnp.max(scores, axis=0, keepdims=True)
@@ -134,8 +137,10 @@ def _make_beam_kernel(nlayers: int, nhead: int, L: int, K: int, B: int,
                             preferred_element_type=jnp.float32) + bk[:]
                 v = jnp.dot(x, wv[:],
                             preferred_element_type=jnp.float32) + bv[:]
-                self_k[i][pl.ds(t, 1), :, :] = k[None]
-                self_v[i][pl.ds(t, 1), :, :] = v[None]
+                self_k[i][pl.ds(t, 1), :, :] = k[None].astype(
+                    self_k[i].dtype)
+                self_v[i][pl.ds(t, 1), :, :] = v[None].astype(
+                    self_v[i].dtype)
                 ctx = _mha_lanes(q, self_k[i][:], self_v[i][:],
                                  self_valid, nhead)
                 sa = jnp.dot(ctx, wo[:],
@@ -338,16 +343,18 @@ def _make_beam_kernel(nlayers: int, nhead: int, L: int, K: int, B: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dec", "max_length", "beam_size"))
+                   static_argnames=("dec", "max_length", "beam_size",
+                                    "cache_bf16"))
 def _fused_beam_call(dec: TransformerDecoder, max_length: int,
                      beam_size: int, packed: Dict[str, jnp.ndarray],
-                     memk, memv, mem_valid
+                     memk, memv, mem_valid, cache_bf16: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     nlayers, nhead = dec.nlayers, dec._nhead
     B = memk[0].shape[1]
     K, L = beam_size, max_length
     hp = nhead * HPAD
     K8 = 8                                               # sublane-padded K
+    cache_dt = jnp.bfloat16 if cache_bf16 else jnp.float32
 
     kernel = _make_beam_kernel(nlayers, nhead, L, K, B, 2, 0,
                                dec.vocab_size, dec.emb_dim)
@@ -374,7 +381,7 @@ def _fused_beam_call(dec: TransformerDecoder, max_length: int,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=(
-            [pltpu.VMEM((L, K * B, hp), jnp.float32)] * (2 * nlayers)
+            [pltpu.VMEM((L, K * B, hp), cache_dt)] * (2 * nlayers)
             + [pltpu.VMEM((L, K * B), jnp.float32),
                pltpu.VMEM((L, K * B), jnp.int32)]),
         compiler_params=pltpu.CompilerParams(
@@ -397,7 +404,8 @@ class FusedBeamDecoder:
 
     def __init__(self, model: Captioner, variables: Dict,
                  max_length: int = 20, beam_size: int = 3,
-                 max_kernel_batch: int = 64):
+                 max_kernel_batch: int = None,
+                 cache_bf16: bool = None):
         self.model = model
         self.dec: TransformerDecoder = model.decoder
         # exact type: conditioned subclasses (Event/KeywordProb) inject
@@ -407,6 +415,16 @@ class FusedBeamDecoder:
             f"got {type(self.dec).__name__}")
         self.max_length = max_length
         self.beam_size = beam_size
+        # bf16 K/V cache storage (f32 accumulate) halves the dominant
+        # VMEM term, letting the kernel batch double.  Default: follow
+        # the model's compute dtype, so bf16 serving models use bf16
+        # caches (matching the XLA engine, which also stores bf16 K/V)
+        # while f32 models keep exact-f32 caches.
+        if cache_bf16 is None:
+            cache_bf16 = self.dec.compute_dtype == jnp.bfloat16
+        self.cache_bf16 = bool(cache_bf16)
+        if max_kernel_batch is None:
+            max_kernel_batch = 128 if self.cache_bf16 else 64
         self.max_kernel_batch = max_kernel_batch
         packed = pack_decoder_weights(
             self.dec, jax.device_get(variables["params"]["decoder"]))
@@ -434,20 +452,22 @@ class FusedBeamDecoder:
                         blk, ((0, 0), (0, 0), (0, HPAD - dh))))
                 return jnp.concatenate(parts, axis=-1)
 
+            mem_dt = jnp.bfloat16 if self.cache_bf16 else jnp.float32
             for i in range(dec.nlayers):
-                memk.append(pad_heads(static[f"mem_k{i}"].astype(
-                    jnp.float32)))
-                memv.append(pad_heads(static[f"mem_v{i}"].astype(
-                    jnp.float32)))
+                memk.append(pad_heads(static[f"mem_k{i}"].astype(mem_dt)))
+                memv.append(pad_heads(static[f"mem_v{i}"].astype(mem_dt)))
             mem_valid = jnp.transpose(
                 ~static["mem_kpm"], (1, 0)).astype(jnp.float32)
             return tuple(memk), tuple(memv), mem_valid
+
+        cache_bf16 = self.cache_bf16
 
         @jax.jit
         def run(wav, wav_len):
             memk, memv, mem_valid = prepare(wav, wav_len)
             return _fused_beam_call(dec, max_length, beam_size, packed_j,
-                                    memk, memv, mem_valid)
+                                    memk, memv, mem_valid,
+                                    cache_bf16=cache_bf16)
 
         self._run = run
         self._prepare = jax.jit(prepare)
@@ -474,7 +494,8 @@ class FusedBeamDecoder:
                     valid = jax.lax.slice_in_dim(mem_valid, i, end,
                                                  axis=1)
                     s, sc = _fused_beam_call(dec, max_length, beam_size,
-                                             packed_j, mk, mv, valid)
+                                             packed_j, mk, mv, valid,
+                                             cache_bf16=cache_bf16)
                     seqs.append(s)
                     scores.append(sc)
                 return (jnp.concatenate(seqs, axis=0),

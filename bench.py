@@ -155,7 +155,8 @@ def main():
     try:
         from audiocaption_tpu.decoding.fused_beam import FusedBeamDecoder
         fb = FusedBeamDecoder(model, variables, max_length=20,
-                              beam_size=3, max_kernel_batch=64)
+                              beam_size=3)   # bf16 model -> bf16 caches,
+        # kernel batch 128 (f32 caches cap it at 64)
         for B in (64, 128, 256):
             args = make_batch(B)
             dt = _bench_fn(lambda w, l: fb(w, l), args)
@@ -174,10 +175,23 @@ def main():
         dt = _bench_fn(greedy_fn, args)
         print(f"greedy B=64: {dt * 1e3:.1f} ms/batch, {64 / dt:.1f} clips/s",
               file=sys.stderr)
+        # single-clip latency two ways, with variance (r01->r02 the
+        # mean drifted 19% with no variance data):
+        #   * amortized: 16 pipelined dispatches / 16 (device time);
+        #   * synced: per-call wall time incl. one host sync (what a
+        #     serving caller sees through the tunnel).
         one = make_batch(1)
         lat = _bench_fn(greedy_fn, one, iters=16)
-        print(f"greedy single-clip p50 latency ~ {lat * 1e3:.2f} ms",
+        print(f"greedy single-clip amortized latency ~ {lat * 1e3:.2f} ms",
               file=sys.stderr)
+        samples = []
+        for _ in range(32):
+            t0 = time.perf_counter()
+            _sync(greedy_fn(*one))
+            samples.append((time.perf_counter() - t0) * 1e3)
+        qs = np.percentile(samples, [10, 50, 90])
+        print(f"greedy single-clip synced latency ms: p10={qs[0]:.2f} "
+              f"p50={qs[1]:.2f} p90={qs[2]:.2f} (n=32)", file=sys.stderr)
     except Exception as e:
         print(f"diagnostics failed: {type(e).__name__}: {e}",
               file=sys.stderr)

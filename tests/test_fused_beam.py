@@ -46,6 +46,27 @@ def test_fused_beam_interpret_token_parity(interp):
 
 
 @pytest.mark.slow
+def test_fused_beam_bf16_cache_token_parity(interp):
+    """bf16 K/V cache storage (the serving configuration: halves VMEM,
+    doubles the kernel batch) with f32 accumulate: token-identical to
+    the engine on a well-separated model; scores within bf16 rounding."""
+    from audiocaption_tpu.models.captioner import generate
+    model, variables = _small_model()
+    wav = jnp.asarray(np.random.RandomState(3).randn(3, 16000),
+                      jnp.float32)
+    lens = jnp.asarray([16000, 9000, 12000])
+    ref = generate(model, variables, wav, lens, sample_method="beam",
+                   beam_size=3, max_length=8, n_best=True, n_best_size=3)
+    fb = interp.FusedBeamDecoder(model, variables, max_length=8,
+                                 beam_size=3, cache_bf16=True)
+    assert fb.max_kernel_batch == 128
+    seq, score = fb(wav, lens, n_best=True)
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(ref["seq"]))
+    np.testing.assert_allclose(np.asarray(score),
+                               np.asarray(ref["score"]), atol=5e-2)
+
+
+@pytest.mark.slow
 def test_fused_beam_chunked_parity(interp):
     """B > max_kernel_batch, B NOT a multiple of it (regression: the
     unclamped slice raised at trace time): one full-batch encode,
