@@ -273,6 +273,8 @@ class Runner:
                     step=jnp.asarray(ckpt.get("lr_count", 0), jnp.int32))
             log(f"resumed from {cfg['resume']} (epoch {start_epoch})")
 
+        val_score = self._make_val_scorer(model, tokenizer, val_loader,
+                                          val_key2refs)
         for epoch in range(start_epoch, epochs + 1):
             t0 = time.time()
             losses = []
@@ -304,17 +306,18 @@ class Runner:
                                             jnp.float32(ss_ratio))
                 losses.append(float(metrics["loss"]))
             train_loss = float(np.mean(losses))
+            t_steps = time.time() - t0
 
-            # validation CIDEr (run.py:150-155)
-            variables = {"params": jax.device_get(state.params),
-                         "batch_stats": jax.device_get(state.batch_stats)}
-            score = self._val_score(model, variables, tokenizer,
-                                    val_loader, val_key2refs)
+            # validation CIDEr (run.py:150-155), from the device state
+            score = val_score(state.params, state.batch_stats)
+            t_val = time.time() - t0 - t_steps
             improved = monitor(score)
             not_improve = 0 if improved else not_improve + 1
-            log(f"epoch {epoch}: loss {train_loss:.4f} "
-                f"val_cider {score:.4f} ss {ss_ratio:.3f} "
-                f"({time.time() - t0:.0f}s)")
+
+            # single full-parameter fetch per epoch, reused for every
+            # checkpoint file and the SWA average
+            variables = {"params": jax.device_get(state.params),
+                         "batch_stats": jax.device_get(state.batch_stats)}
             if tb is not None:
                 tb.add_scalar("train/loss", train_loss, epoch)
                 tb.add_scalar("train/ss_ratio", ss_ratio, epoch)
@@ -336,6 +339,12 @@ class Runner:
                                          variables["batch_stats"])
                 swa_state = swa_update(swa_state, variables["params"],
                                        variables["batch_stats"])
+
+            t_ckpt = time.time() - t0 - t_steps - t_val
+            log(f"epoch {epoch}: loss {train_loss:.4f} "
+                f"val_cider {score:.4f} ss {ss_ratio:.3f} "
+                f"({time.time() - t0:.0f}s: steps {t_steps:.0f} "
+                f"val {t_val:.0f} ckpt {t_ckpt:.0f})")
 
             if not_improve >= early_stop:
                 log(f"early stop at epoch {epoch}")
@@ -544,6 +553,8 @@ class Runner:
                 return kd_step(state, b, jnp.float32(1.0))
 
         monitor = MetricImprover("max")
+        val_score = self._make_val_scorer(model, tokenizer, val_loader,
+                                          val_key2refs)
         for epoch in range(1, epochs + 1):
             t0 = time.time()
             losses = []
@@ -552,10 +563,9 @@ class Runner:
                 losses.append(float(metrics["loss"]))
             params = state.params["model"] if kd_type == "enc" \
                 else state.params
+            score = val_score(params, state.batch_stats)
             variables = {"params": jax.device_get(params),
                          "batch_stats": jax.device_get(state.batch_stats)}
-            score = self._val_score(model, variables, tokenizer,
-                                    val_loader, val_key2refs)
             improved = monitor(score)
             log(f"kd[{kd_type}] epoch {epoch}: "
                 f"loss {float(np.mean(losses)):.4f} "
@@ -626,6 +636,8 @@ class Runner:
                                    tx)
         log = _make_logger(exp_dir / "train.log")
         monitor = MetricImprover("max")
+        val_score = self._make_val_scorer(model, tokenizer, val_loader,
+                                          val_key2refs)
         it = 0
         for epoch in range(1, epochs + 1):
             t0 = time.time()
@@ -642,10 +654,9 @@ class Runner:
                                       jnp.float32(1.0))
                 losses.append(float(metrics["loss"]))
                 it += 1
+            score = val_score(state.params, state.batch_stats)
             variables = {"params": jax.device_get(state.params),
                          "batch_stats": jax.device_get(state.batch_stats)}
-            score = self._val_score(model, variables, tokenizer,
-                                    val_loader, val_key2refs)
             improved = monitor(score)
             log(f"aug epoch {epoch}: loss {float(np.mean(losses)):.4f} "
                 f"val_cider {score:.4f} discount {disc_fn(it):.3f} "
@@ -706,16 +717,43 @@ class Runner:
                 key2pred.setdefault(aid, [cap])
         return key2pred
 
-    def _val_score(self, model, variables, tokenizer, val_loader,
-                   key2refs) -> float:
-        key2pred = self._decode_loader(model, variables, tokenizer,
-                                       val_loader, sample_method="greedy")
-        key2refs = {k: v for k, v in key2refs.items() if k in key2pred}
-        key2pred = {k: v for k, v in key2pred.items() if k in key2refs}
+    def _make_val_scorer(self, model, tokenizer, val_loader, key2refs):
+        """Per-epoch greedy val CIDEr over the DEVICE-resident train
+        state (run.py:150-155 semantics).
+
+        One persistent jitted decode is reused across every epoch.  The
+        round-2 code built a fresh ``jax.jit`` closure per epoch, which
+        on the remote-TPU tunnel recompiled the whole val decode every
+        epoch (minutes each) and retained each epoch's executable plus a
+        full host copy of the parameters — an unbounded host-memory leak
+        (~1 GB/min at flagship size).  Decoding straight from the device
+        state also removes the 2x full-parameter host<->device round
+        trip per epoch.
+        """
         from audiocaption_tpu.native import FastCiderD
         scorer = FastCiderD()
-        score, _ = scorer.compute_score(ptb_tokenize(key2refs),
-                                        ptb_tokenize(key2pred))
+
+        @jax.jit
+        def decode(params, batch_stats, wav, wav_len):
+            return generate(model,
+                            {"params": params, "batch_stats": batch_stats},
+                            wav, wav_len, sample_method="greedy")["seq"]
+
+        def score(params, batch_stats) -> float:
+            key2pred: Dict[str, List[str]] = {}
+            for batch in val_loader:
+                seq = decode(params, batch_stats,
+                             jnp.asarray(batch["wav"]),
+                             jnp.asarray(batch["wav_len"]))
+                caps = tokenizer.decode(np.asarray(seq))
+                for aid, cap in zip(batch["audio_id"], caps):
+                    key2pred.setdefault(aid, [cap])
+            refs = {k: v for k, v in key2refs.items() if k in key2pred}
+            preds = {k: v for k, v in key2pred.items() if k in refs}
+            s, _ = scorer.compute_score(ptb_tokenize(refs),
+                                        ptb_tokenize(preds))
+            return s
+
         return score
 
     # ---------------------------------------------------------- predict --
