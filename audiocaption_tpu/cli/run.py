@@ -35,6 +35,7 @@ import yaml
 from audiocaption_tpu.data import (
     CaptionDataset, DictTokenizer, HuggingfaceTokenizer, InferenceDataset,
     TextCollate, VarLenPadCollate, load_caption_json)
+from audiocaption_tpu.data.prefetch import prefetch_to_device
 from audiocaption_tpu.losses import build_loss
 from audiocaption_tpu.metrics import evaluate_captions
 from audiocaption_tpu.metrics.cider import CiderD
@@ -91,11 +92,13 @@ def build_collate(cfg: Dict, tokenizer=None, wav_bucket: int = 16000):
     if t == "TextCollate":
         return TextCollate(tokenizer, text_key=args.get("text_key", "cap"),
                            pad_keys=args.get("pad_keys", []),
-                           sort_key=args.get("sort_key"), buckets=buckets)
+                           sort_key=args.get("sort_key"), buckets=buckets,
+                           wire_dtype=args.get("wire_dtype"))
     if t == "VarLenPadCollate":
         return VarLenPadCollate(pad_keys=args.get("pad_keys", []),
                                 sort_key=args.get("sort_key"),
-                                buckets=buckets)
+                                buckets=buckets,
+                                wire_dtype=args.get("wire_dtype"))
     raise ValueError(t)
 
 
@@ -275,10 +278,36 @@ class Runner:
 
         val_score = self._make_val_scorer(model, tokenizer, val_loader,
                                           val_key2refs)
+
+        # input pipeline: a worker thread preps batch N+1 and dispatches
+        # its host->device transfer while the device runs batch N
+        # (data/prefetch.py) — the load+transfer tax otherwise
+        # serializes with every step on a remote-TPU link
+        step_keys = ("wav", "wav_len", "cap", "cap_len", "temporal_tag",
+                     "condition", "style", "structure", "event", "keyword")
+
+        def _host_prep(batch):
+            if rl_train:
+                return batch           # SCST consumes the raw batch
+            b = {k: batch[k] for k in step_keys if k in batch}
+            b["cap"] = np.asarray(b["cap"], np.int32)
+            return b
+
+        if rl_train:
+            _transfer = lambda b: b    # noqa: E731 — scst_step feeds host arrays
+        elif mesh is not None:
+            _transfer = lambda b: shard_batch(  # noqa: E731
+                _pad_to_devices(b, len(devices)), mesh)
+        else:
+            _transfer = None           # prefetch default: plain device_put
+
         for epoch in range(start_epoch, epochs + 1):
             t0 = time.time()
             losses = []
-            for batch in train_loader:
+            pf_kw = {"transform": _host_prep}
+            if _transfer is not None:
+                pf_kw["transfer"] = _transfer
+            for batch in prefetch_to_device(train_loader, **pf_kw):
                 if ss_cfg.get("use"):
                     if ss_per_iter is None:
                         ss_ratio *= 0.01 ** (1.0 / total_iters)
@@ -296,12 +325,6 @@ class Runner:
                     state = apply_grads(state, grads)
                     losses.append(-rl_metrics["reward_sample"])
                     continue
-                batch = {k: v for k, v in batch.items()
-                         if k in ("wav", "wav_len", "cap", "cap_len")}
-                batch["cap"] = np.asarray(batch["cap"], np.int32)
-                if mesh is not None:
-                    batch = shard_batch(_pad_to_devices(batch,
-                                                        len(devices)), mesh)
                 state, metrics = train_step(state, batch,
                                             jnp.float32(ss_ratio))
                 losses.append(float(metrics["loss"]))
@@ -545,7 +568,7 @@ class Runner:
             def run_step(state, batch):
                 wav = jnp.asarray(batch["wav"])
                 wav_len = jnp.asarray(batch["wav_len"])
-                cap = jnp.asarray(np.asarray(batch["cap"], np.int32))
+                cap = jnp.asarray(batch["cap"], jnp.int32)
                 cap_len = jnp.asarray(batch["cap_len"])
                 t_logit = teacher_fwd(wav, wav_len, cap, cap_len)
                 b = {"wav": wav, "wav_len": wav_len, "cap": cap,
@@ -558,7 +581,7 @@ class Runner:
         for epoch in range(1, epochs + 1):
             t0 = time.time()
             losses = []
-            for batch in train_loader:
+            for batch in prefetch_to_device(train_loader):
                 state, metrics = run_step(state, batch)
                 losses.append(float(metrics["loss"]))
             params = state.params["model"] if kd_type == "enc" \
@@ -642,12 +665,12 @@ class Runner:
         for epoch in range(1, epochs + 1):
             t0 = time.time()
             losses = []
-            for real, aug in interleave_loaders(train_loader, aug_loader):
+            for real, aug in prefetch_to_device(
+                    interleave_loaders(train_loader, aug_loader)):
                 def prep(b):
                     return {"wav": jnp.asarray(b["wav"]),
                             "wav_len": jnp.asarray(b["wav_len"]),
-                            "cap": jnp.asarray(
-                                np.asarray(b["cap"], np.int32)),
+                            "cap": jnp.asarray(b["cap"], jnp.int32),
                             "cap_len": jnp.asarray(b["cap_len"])}
                 state, metrics = step(state, prep(real), prep(aug),
                                       jnp.float32(disc_fn(it)),
@@ -735,13 +758,18 @@ class Runner:
 
         @jax.jit
         def decode(params, batch_stats, wav, wav_len):
+            if wav.dtype in (jnp.float16, jnp.bfloat16):
+                wav = wav.astype(jnp.float32)
+            elif wav.dtype == jnp.int16:
+                wav = wav.astype(jnp.float32) / 32768.0
             return generate(model,
                             {"params": params, "batch_stats": batch_stats},
                             wav, wav_len, sample_method="greedy")["seq"]
 
         def score(params, batch_stats) -> float:
+            from audiocaption_tpu.data.prefetch import prefetch_to_device
             key2pred: Dict[str, List[str]] = {}
-            for batch in val_loader:
+            for batch in prefetch_to_device(val_loader):
                 seq = decode(params, batch_stats,
                              jnp.asarray(batch["wav"]),
                              jnp.asarray(batch["wav_len"]))

@@ -38,10 +38,18 @@ class VarLenPadCollate:
 
     def __init__(self, pad_keys: Sequence[str] = (),
                  sort_key: Optional[str] = None,
-                 buckets: Optional[Dict[str, int]] = None):
+                 buckets: Optional[Dict[str, int]] = None,
+                 wire_dtype: Optional[Dict[str, str]] = None):
         self.pad_keys = list(pad_keys)
         self.sort_key = sort_key
         self.buckets = buckets or {}
+        # per-key compact wire dtype (e.g. {"wav": "float16"}): the
+        # padded batch is emitted in this dtype to halve host->device
+        # transfer bytes; the train step re-expands on device
+        # (training/trainer.py step_fn).  float16 is lossless for
+        # corpora packed as int16/f16 waveforms.
+        self.wire_dtype = {k: np.dtype(v)
+                           for k, v in (wire_dtype or {}).items()}
 
     def __call__(self, items: List[Dict]) -> Dict[str, np.ndarray]:
         if self.sort_key:
@@ -52,8 +60,11 @@ class VarLenPadCollate:
         out: Dict[str, np.ndarray] = {}
         for k, vals in batch.items():
             if k in self.pad_keys:
+                wire = self.wire_dtype.get(k)
                 padded, lens = pad_sequences(
-                    [np.asarray(v) for v in vals],
+                    [np.asarray(v) if wire is None
+                     else np.asarray(v).astype(wire, copy=False)
+                     for v in vals],
                     bucket=self.buckets.get(k))
                 out[k] = padded
                 out[f"{k}_len"] = lens
@@ -72,9 +83,10 @@ class TextCollate(VarLenPadCollate):
     def __init__(self, tokenizer, text_key: str = "cap",
                  pad_keys: Sequence[str] = (),
                  sort_key: Optional[str] = None,
-                 buckets: Optional[Dict[str, int]] = None):
+                 buckets: Optional[Dict[str, int]] = None,
+                 wire_dtype: Optional[Dict[str, str]] = None):
         pad_keys = [k for k in pad_keys if k != text_key]
-        super().__init__(pad_keys, sort_key, buckets)
+        super().__init__(pad_keys, sort_key, buckets, wire_dtype)
         self.tokenizer = tokenizer
         self.text_key = text_key
 

@@ -113,6 +113,15 @@ def make_train_step(model,
 
     def step_fn(state: TrainState, batch: Dict[str, Array],
                 ss_ratio: Array) -> tuple:
+        # compact wire formats (data/collate.py wire_dtype): the wav may
+        # arrive as float16 (lossless for int16/f16-packed corpora) to
+        # halve the host->device bytes; models compute from float32.
+        # dtype is static at trace time, so this is free when f32.
+        wav = batch["wav"]
+        if wav.dtype in (jnp.float16, jnp.bfloat16):
+            batch = dict(batch, wav=wav.astype(jnp.float32))
+        elif wav.dtype == jnp.int16:
+            batch = dict(batch, wav=wav.astype(jnp.float32) / 32768.0)
         rng, sample_rng, dropout_rng, specaug_rng = jax.random.split(
             jax.random.fold_in(state.rng, state.step), 4)
 
