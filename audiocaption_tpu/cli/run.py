@@ -276,15 +276,34 @@ class Runner:
                     step=jnp.asarray(ckpt.get("lr_count", 0), jnp.int32))
             log(f"resumed from {cfg['resume']} (epoch {start_epoch})")
 
+        # device-resident corpora (data/device_bank.py): ship all wavs
+        # to HBM once; steps/val batches then carry only row indices.
+        # Worth it on the remote-TPU link where the per-step wav
+        # transfer (~20 MB) otherwise dominates the ~120 ms compute.
+        train_bank = val_bank = None
+        if (cfg["data"]["train"].get("device_resident")
+                and not rl_train and mesh is None):
+            from audiocaption_tpu.data.device_bank import build_wav_bank
+            t_bank = time.time()
+            train_bank, bank_lens = build_wav_bank(train_loader.dataset)
+            train_loader.dataset.enable_wav_index(bank_lens)
+            log(f"train wav bank on device: {train_bank.shape} "
+                f"{train_bank.dtype} ({time.time() - t_bank:.0f}s)")
+        if val_cfg.get("device_resident") and mesh is None:
+            from audiocaption_tpu.data.device_bank import build_wav_bank
+            val_bank, vlens = build_wav_bank(val_loader.dataset)
+            val_loader.dataset.enable_wav_index(vlens)
+
         val_score = self._make_val_scorer(model, tokenizer, val_loader,
-                                          val_key2refs)
+                                          val_key2refs, wav_bank=val_bank)
 
         # input pipeline: a worker thread preps batch N+1 and dispatches
         # its host->device transfer while the device runs batch N
         # (data/prefetch.py) — the load+transfer tax otherwise
         # serializes with every step on a remote-TPU link
-        step_keys = ("wav", "wav_len", "cap", "cap_len", "temporal_tag",
-                     "condition", "style", "structure", "event", "keyword")
+        step_keys = ("wav", "wav_idx", "wav_len", "cap", "cap_len",
+                     "temporal_tag", "condition", "style", "structure",
+                     "event", "keyword")
 
         def _host_prep(batch):
             if rl_train:
@@ -298,6 +317,15 @@ class Runner:
         elif mesh is not None:
             _transfer = lambda b: shard_batch(  # noqa: E731
                 _pad_to_devices(b, len(devices)), mesh)
+        elif train_bank is not None:
+            from audiocaption_tpu.data.prefetch import _default_transfer
+
+            def _transfer(b):
+                # attach the committed bank AFTER the device_put of the
+                # small leaves (it is already on device; never re-sent)
+                b = _default_transfer(b)
+                b["wav_bank"] = train_bank
+                return b
         else:
             _transfer = None           # prefetch default: plain device_put
 
@@ -327,8 +355,10 @@ class Runner:
                     continue
                 state, metrics = train_step(state, batch,
                                             jnp.float32(ss_ratio))
-                losses.append(float(metrics["loss"]))
-            train_loss = float(np.mean(losses))
+                # keep the device scalar: a float() here would block on
+                # the step and stall the dispatch pipeline every step
+                losses.append(metrics["loss"])
+            train_loss = float(np.mean(jax.device_get(losses)))
             t_steps = time.time() - t0
 
             # validation CIDEr (run.py:150-155), from the device state
@@ -740,7 +770,8 @@ class Runner:
                 key2pred.setdefault(aid, [cap])
         return key2pred
 
-    def _make_val_scorer(self, model, tokenizer, val_loader, key2refs):
+    def _make_val_scorer(self, model, tokenizer, val_loader, key2refs,
+                         wav_bank=None):
         """Per-epoch greedy val CIDEr over the DEVICE-resident train
         state (run.py:150-155 semantics).
 
@@ -756,23 +787,40 @@ class Runner:
         from audiocaption_tpu.native import FastCiderD
         scorer = FastCiderD()
 
+        def _expand(wav):
+            if wav.dtype in (jnp.float16, jnp.bfloat16):
+                return wav.astype(jnp.float32)
+            if wav.dtype == jnp.int16:
+                return wav.astype(jnp.float32) / 32768.0
+            return wav
+
         @jax.jit
         def decode(params, batch_stats, wav, wav_len):
-            if wav.dtype in (jnp.float16, jnp.bfloat16):
-                wav = wav.astype(jnp.float32)
-            elif wav.dtype == jnp.int16:
-                wav = wav.astype(jnp.float32) / 32768.0
             return generate(model,
                             {"params": params, "batch_stats": batch_stats},
-                            wav, wav_len, sample_method="greedy")["seq"]
+                            _expand(wav), wav_len,
+                            sample_method="greedy")["seq"]
+
+        @jax.jit
+        def decode_idx(params, batch_stats, bank, idx, wav_len):
+            # device-resident val corpus: gather wav rows on device
+            return generate(model,
+                            {"params": params, "batch_stats": batch_stats},
+                            _expand(jnp.take(bank, idx, axis=0)), wav_len,
+                            sample_method="greedy")["seq"]
 
         def score(params, batch_stats) -> float:
             from audiocaption_tpu.data.prefetch import prefetch_to_device
             key2pred: Dict[str, List[str]] = {}
             for batch in prefetch_to_device(val_loader):
-                seq = decode(params, batch_stats,
-                             jnp.asarray(batch["wav"]),
-                             jnp.asarray(batch["wav_len"]))
+                if "wav_idx" in batch:
+                    seq = decode_idx(params, batch_stats, wav_bank,
+                                     jnp.asarray(batch["wav_idx"]),
+                                     jnp.asarray(batch["wav_len"]))
+                else:
+                    seq = decode(params, batch_stats,
+                                 jnp.asarray(batch["wav"]),
+                                 jnp.asarray(batch["wav_len"]))
                 caps = tokenizer.decode(np.asarray(seq))
                 for aid, cap in zip(batch["audio_id"], caps):
                     key2pred.setdefault(aid, [cap])

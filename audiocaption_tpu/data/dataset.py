@@ -90,7 +90,16 @@ class _H5Cache:
             alt = f"Y{key}.wav"   # AudioCaps packing quirk
             if alt in f:
                 key = alt
-        return np.asarray(f[key], np.float32)
+        # read in the dataset's native dtype (a straight memcpy), then
+        # convert with numpy: h5py's in-read type conversion (what
+        # np.asarray(dset, f32) triggers) is element-wise and ~60x
+        # slower for f16/int16-packed corpora
+        arr = f[key][...]
+        if arr.dtype == np.int16:
+            return arr.astype(np.float32) / 32768.0
+        if arr.dtype != np.float32:
+            return arr.astype(np.float32)
+        return arr
 
 
 class InferenceDataset:
@@ -114,6 +123,23 @@ class InferenceDataset:
         self.mem: Optional[Dict[str, np.ndarray]] = None
         if load_into_mem:
             self.mem = {aid: self._load(aid) for aid in self.audio_ids}
+        # device-resident corpus mode (data/device_bank.py): items carry
+        # a bank row index instead of samples; the jitted step gathers
+        # the wav on device
+        self.wav_index_mode = False
+        self._bank_lens: Optional[np.ndarray] = None
+        self._aid_to_idx: Optional[Dict[str, int]] = None
+
+    def enable_wav_index(self, bank_lens: np.ndarray) -> None:
+        """Switch __getitem__ to emit {wav_idx, wav_len} (row i of the
+        device bank built over ``self.audio_ids``) instead of samples."""
+        self.wav_index_mode = True
+        self._bank_lens = np.asarray(bank_lens, np.int32)
+        self._aid_to_idx = {a: i for i, a in enumerate(self.audio_ids)}
+
+    def _index_item(self, audio_id: str) -> Dict:
+        i = self._aid_to_idx[audio_id]
+        return {"wav_idx": np.int32(i), "wav_len": self._bank_lens[i]}
 
     def _load(self, audio_id: str) -> np.ndarray:
         wav = self.cache.read(self.aid_to_h5[audio_id], audio_id)
@@ -146,6 +172,8 @@ class InferenceDataset:
 
     def __getitem__(self, index: int) -> Dict:
         aid = self.audio_ids[index]
+        if self.wav_index_mode:
+            return {"audio_id": aid, **self._index_item(aid)}
         return {"audio_id": aid, "wav": self.get_audio(aid)}
 
 
@@ -176,7 +204,10 @@ class CaptionDataset(InferenceDataset):
 
     def __getitem__(self, index: int) -> Dict:
         item = dict(self.items[index])
-        item["wav"] = self.get_audio(item["audio_id"])
+        if self.wav_index_mode:
+            item.update(self._index_item(item["audio_id"]))
+        else:
+            item["wav"] = self.get_audio(item["audio_id"])
         return item
 
 

@@ -113,6 +113,15 @@ def make_train_step(model,
 
     def step_fn(state: TrainState, batch: Dict[str, Array],
                 ss_ratio: Array) -> tuple:
+        # device-resident corpus (data/device_bank.py): the batch
+        # carries bank row indices; gather the wav rows on device so the
+        # per-step host->device traffic is just token ids + indices
+        if "wav_idx" in batch:
+            wav_rows = jnp.take(batch["wav_bank"], batch["wav_idx"],
+                                axis=0)
+            batch = {k: v for k, v in batch.items()
+                     if k not in ("wav_idx", "wav_bank")}
+            batch["wav"] = wav_rows
         # compact wire formats (data/collate.py wire_dtype): the wav may
         # arrive as float16 (lossless for int16/f16-packed corpora) to
         # halve the host->device bytes; models compute from float32.
