@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import random
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -381,10 +382,9 @@ class Runner:
                 not_improve_cnt=not_improve,
                 tokenizer_state=tokenizer.state_dict(),
                 lr_count=int(jax.device_get(state.step)))
-            if improved:
-                save_checkpoint(str(exp_dir / "best.pth"), variables,
-                                **ckpt_kw)
             save_checkpoint(str(exp_dir / "last.pth"), variables, **ckpt_kw)
+            if improved:     # identical payload: copy, don't re-serialize
+                shutil.copyfile(exp_dir / "last.pth", exp_dir / "best.pth")
 
             if swa_cfg.get("use") and epoch >= swa_cfg.get("start", 21):
                 if swa_state is None:
@@ -625,10 +625,9 @@ class Runner:
                 f"val_cider {score:.4f} ({time.time() - t0:.0f}s)")
             ckpt_kw = dict(epoch=epoch,
                            tokenizer_state=tokenizer.state_dict())
-            if improved:
-                save_checkpoint(str(exp_dir / "best.pth"), variables,
-                                **ckpt_kw)
             save_checkpoint(str(exp_dir / "last.pth"), variables, **ckpt_kw)
+            if improved:     # identical payload: copy, don't re-serialize
+                shutil.copyfile(exp_dir / "last.pth", exp_dir / "best.pth")
         save_checkpoint(str(exp_dir / "swa.pth"), variables,
                         epoch=epochs,
                         tokenizer_state=tokenizer.state_dict())
@@ -716,10 +715,9 @@ class Runner:
                 f"({time.time() - t0:.0f}s)")
             ckpt_kw = dict(epoch=epoch,
                            tokenizer_state=tokenizer.state_dict())
-            if improved:
-                save_checkpoint(str(exp_dir / "best.pth"), variables,
-                                **ckpt_kw)
             save_checkpoint(str(exp_dir / "last.pth"), variables, **ckpt_kw)
+            if improved:     # identical payload: copy, don't re-serialize
+                shutil.copyfile(exp_dir / "last.pth", exp_dir / "best.pth")
         save_checkpoint(str(exp_dir / "swa.pth"), variables, epoch=epochs,
                         tokenizer_state=tokenizer.state_dict())
         return str(exp_dir)
