@@ -77,6 +77,38 @@ def _mha_lanes(q, kcache, vcache, valid, nhead):
     return jnp.concatenate(ctxs, axis=-1)
 
 
+def _cross_mha_beams(xq, kcache, vcache, valid, nhead, K, B):
+    """Cross attention of K beams against ONE shared per-sample memory.
+
+    xq: [K*B, H*HPAD] beam-major queries; kcache/vcache: [S, B, H*HPAD]
+    memory stored once per sample; valid: [S, B].
+
+    Loads each head's K/V slice ONCE and reuses it for all K beam query
+    slices — calling :func:`_mha_lanes` per beam re-reads the whole
+    memory K times, and those loads are the dominant VMEM traffic of a
+    beam step (S x B x H*HPAD per head per beam).  Math is identical
+    per beam (same f32 accumulation order), so tokens don't move.
+    Returns [K*B, H*HPAD] beam-major contexts.
+    """
+    neg = jnp.float32(-1e30)
+    per_beam_ctxs = [[] for _ in range(K)]      # [beam][head]
+    for h in range(nhead):
+        sl = slice(h * HPAD, (h + 1) * HPAD)
+        kh = kcache[:, :, sl].astype(jnp.float32)
+        vh = vcache[:, :, sl].astype(jnp.float32)
+        for kb in range(K):
+            qh = xq[kb * B:(kb + 1) * B, sl]
+            scores = jnp.sum(qh[None] * kh, axis=-1)
+            scores = jnp.where(valid, scores, neg)
+            m = jnp.max(scores, axis=0, keepdims=True)
+            e = jnp.exp(scores - m)
+            attn = e / jnp.sum(e, axis=0, keepdims=True)
+            per_beam_ctxs[kb].append(jnp.sum(attn[:, :, None] * vh,
+                                             axis=0))
+    return jnp.concatenate(
+        [jnp.concatenate(c, axis=-1) for c in per_beam_ctxs], axis=0)
+
+
 def _make_beam_kernel(nlayers: int, nhead: int, L: int, K: int, B: int,
                       eos: int, pad: int, v_real: int, emb_dim: int):
     import math
@@ -148,14 +180,10 @@ def _make_beam_kernel(nlayers: int, nhead: int, L: int, K: int, B: int,
                 x = _ln(x + sa, ln1)
                 xq = jnp.dot(x, xwq[:],
                              preferred_element_type=jnp.float32) + xbq[:]
-                # cross attention: mem K/V stored once per sample; slice
-                # per beam (contiguous rows) against the shared memory
-                xctxs = []
-                for kb in range(K):
-                    xctxs.append(_mha_lanes(
-                        xq[bsl(kb)], memk[i][:], memv[i][:], mem_valid1,
-                        nhead))
-                xctx = jnp.concatenate(xctxs, axis=0)
+                # cross attention: mem K/V stored once per sample and
+                # loaded once per head (not once per beam)
+                xctx = _cross_mha_beams(xq, memk[i][:], memv[i][:],
+                                        mem_valid1, nhead, K, B)
                 ca = jnp.dot(xctx, xwo[:],
                              preferred_element_type=jnp.float32) + xbo[:]
                 x = _ln(x + ca, ln2)
@@ -219,44 +247,58 @@ def _make_beam_kernel(nlayers: int, nhead: int, L: int, K: int, B: int,
             pb_row = [jnp.transpose(pb, (1, 0)) for pb in prev_beam_l]
             word_row = [jnp.transpose(w, (1, 0)) for w in new_word_l]
 
-            # ---- parent-beam gather (K^2 masked selects) ----
-            def gather_rows(read_slice, extra_dim):
-                """read_slice(j): [L, B] or [L, B, HP] source-beam slice;
-                returns per-target-beam gathered values.  Masks are cast
-                to f32 BEFORE any rank change: Mosaic cannot reshape i1
-                vectors ([1,B] bool -> [1,B,1] fails to lower)."""
-                outs = []
+            # ---- parent-beam gather ----
+            # Each ref is permuted with ONE hoisted read per source beam
+            # (the loads are values before any store, so in-place
+            # permutation is safe) and K masked selects per target.
+            # Masks are cast to f32 BEFORE any rank change: Mosaic
+            # cannot reshape i1 vectors ([1,B] bool -> [1,B,1] fails to
+            # lower).
+            def permute_ref(ref, rows, extra_dim):
+                if extra_dim:
+                    srcs = [ref[rows, bsl(j), :] for j in range(K)]
+                else:
+                    srcs = [ref[rows, bsl(j)] for j in range(K)]
                 for kt in range(K):
-                    acc = read_slice(0)
+                    acc = srcs[0]
                     for j in range(1, K):
                         mjf = (pb_row[kt] == j).astype(jnp.float32)
                         if extra_dim:
                             mj = mjf[:, :, None] > 0.5    # [1, B, 1]
                         else:
                             mj = mjf > 0.5                # [1, B]
-                        acc = jnp.where(mj, read_slice(j), acc)
-                    outs.append(acc)
-                return outs
+                        acc = jnp.where(mj, srcs[j], acc)
+                    if extra_dim:
+                        ref[rows, bsl(kt), :] = acc
+                    else:
+                        ref[rows, bsl(kt)] = acc
 
-            # seq: gather prefix then append the new word at t.  The
+            # Rows > t are identical across beams (caches: zeros; seq:
+            # eos; pad flags: zeros — each row is first written at its
+            # own step), so permuting them is a no-op: row-blocks whose
+            # first row exceeds t are skipped.  This cuts the dominant
+            # per-step VMEM traffic from L rows to ~t+1.
+            RB = 8
+            for lo in range(0, L, RB):
+                hi = min(lo + RB, L)
+                rows = slice(lo, hi)
+
+                def permute_all(rows=rows):
+                    permute_ref(seq_ref, rows, False)
+                    permute_ref(pad_flag, rows, False)
+                    for i in range(nlayers):
+                        permute_ref(self_k[i], rows, True)
+                        permute_ref(self_v[i], rows, True)
+
+                if lo == 0:
+                    permute_all()
+                else:
+                    pl.when(t >= lo)(permute_all)
+            # append the new word at t AFTER the prefix gather.  The
             # row-t write covers ALL lanes at once — a dynamic-sublane
             # store to a partial lane slice is "dynamic store with
             # unaligned indices" in Mosaic.
-            new_seqs = gather_rows(lambda j: seq_ref[:, bsl(j)], False)
-            for kt in range(K):
-                seq_ref[:, bsl(kt)] = new_seqs[kt]
             seq_ref[pl.ds(t, 1), :] = jnp.concatenate(word_row, axis=1)
-            # pad flags
-            new_pads = gather_rows(lambda j: pad_flag[:, bsl(j)], False)
-            for kt in range(K):
-                pad_flag[:, bsl(kt)] = new_pads[kt]
-            # self-attention caches
-            for i in range(nlayers):
-                for ref in (self_k[i], self_v[i]):
-                    new_cs = gather_rows(lambda j: ref[:, bsl(j), :],
-                                         True)
-                    for kt in range(K):
-                        ref[:, bsl(kt), :] = new_cs[kt]
 
             # ---- done-beam harvest (engine _merge_done semantics) ----
             last_t = jnp.equal(t, L - 1)

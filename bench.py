@@ -15,8 +15,14 @@ stderr.
 """
 
 import json
+import os
 import sys
 import time
+from pathlib import Path
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path(__file__).resolve().parent / ".cache" / "jax"))
 
 import jax
 import jax.numpy as jnp
