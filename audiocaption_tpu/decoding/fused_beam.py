@@ -52,6 +52,17 @@ def _ln(x, ln):
     return (x - mean) * jax.lax.rsqrt(var + 1e-5) * ln[0:1, :] + ln[1:2, :]
 
 
+def _dot(x, w):
+    """Matmul against a possibly-bf16-stored weight, f32 accumulate.
+
+    In the bf16 serving story the large weight matrices are stored bf16
+    (halving their VMEM and running the MXU at its bf16 rate — the dots
+    are the beam step's FLOPs); activations are cast to the weight
+    dtype at the dot boundary only, every accumulation stays f32."""
+    return jnp.dot(x.astype(w.dtype), w,
+                   preferred_element_type=jnp.float32)
+
+
 def _mha_lanes(q, kcache, vcache, valid, nhead):
     """q: [N, H*HPAD]; kcache/vcache: [T, N, H*HPAD]; valid: [T, N].
 
@@ -149,8 +160,7 @@ def _make_beam_kernel(nlayers: int, nhead: int, L: int, K: int, B: int,
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (K * B, v_pad), 1)
             onehot = (lane == word).astype(jnp.float32)
-            x = jnp.dot(onehot, emb_in_ref[:],
-                        preferred_element_type=jnp.float32) * sqrt_e
+            x = _dot(onehot, emb_in_ref[:]) * sqrt_e
             x = x + pe_ref[pl.ds(t, 1), :]
 
             pad_flag[pl.ds(t, 1), :] = jnp.transpose(
@@ -163,40 +173,29 @@ def _make_beam_kernel(nlayers: int, nhead: int, L: int, K: int, B: int,
                 (wq, bq, wk, bk, wv, bv, wo, bo, xwq, xbq, xwo, xbo,
                  w1, b1, w2, b2x, lns) = lw[i]
                 ln1, ln2, ln3 = lns[0:2, :], lns[2:4, :], lns[4:6, :]
-                q = jnp.dot(x, wq[:],
-                            preferred_element_type=jnp.float32) + bq[:]
-                k = jnp.dot(x, wk[:],
-                            preferred_element_type=jnp.float32) + bk[:]
-                v = jnp.dot(x, wv[:],
-                            preferred_element_type=jnp.float32) + bv[:]
+                q = _dot(x, wq[:]) + bq[:]
+                k = _dot(x, wk[:]) + bk[:]
+                v = _dot(x, wv[:]) + bv[:]
                 self_k[i][pl.ds(t, 1), :, :] = k[None].astype(
                     self_k[i].dtype)
                 self_v[i][pl.ds(t, 1), :, :] = v[None].astype(
                     self_v[i].dtype)
                 ctx = _mha_lanes(q, self_k[i][:], self_v[i][:],
                                  self_valid, nhead)
-                sa = jnp.dot(ctx, wo[:],
-                             preferred_element_type=jnp.float32) + bo[:]
+                sa = _dot(ctx, wo[:]) + bo[:]
                 x = _ln(x + sa, ln1)
-                xq = jnp.dot(x, xwq[:],
-                             preferred_element_type=jnp.float32) + xbq[:]
+                xq = _dot(x, xwq[:]) + xbq[:]
                 # cross attention: mem K/V stored once per sample and
                 # loaded once per head (not once per beam)
                 xctx = _cross_mha_beams(xq, memk[i][:], memv[i][:],
                                         mem_valid1, nhead, K, B)
-                ca = jnp.dot(xctx, xwo[:],
-                             preferred_element_type=jnp.float32) + xbo[:]
+                ca = _dot(xctx, xwo[:]) + xbo[:]
                 x = _ln(x + ca, ln2)
-                h = jnp.maximum(
-                    jnp.dot(x, w1[:],
-                            preferred_element_type=jnp.float32) + b1[:],
-                    0.0)
-                ff = jnp.dot(h, w2[:],
-                             preferred_element_type=jnp.float32) + b2x[:]
+                h = jnp.maximum(_dot(x, w1[:]) + b1[:], 0.0)
+                ff = _dot(h, w2[:]) + b2x[:]
                 x = _ln(x + ff, ln3)
 
-            logits = jnp.dot(x, emb_out_ref[:],
-                             preferred_element_type=jnp.float32)
+            logits = _dot(x, emb_out_ref[:])
             lane_v = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             logits = jnp.where(lane_v < v_real, logits, -1e9)
             # log-softmax (engine applies it twice with /temp; for
@@ -386,10 +385,11 @@ def _make_beam_kernel(nlayers: int, nhead: int, L: int, K: int, B: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("dec", "max_length", "beam_size",
-                                    "cache_bf16"))
+                                    "cache_bf16", "weights_bf16"))
 def _fused_beam_call(dec: TransformerDecoder, max_length: int,
                      beam_size: int, packed: Dict[str, jnp.ndarray],
-                     memk, memv, mem_valid, cache_bf16: bool = False
+                     memk, memv, mem_valid, cache_bf16: bool = False,
+                     weights_bf16: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     nlayers, nhead = dec.nlayers, dec._nhead
     B = memk[0].shape[1]
@@ -400,9 +400,20 @@ def _fused_beam_call(dec: TransformerDecoder, max_length: int,
 
     kernel = _make_beam_kernel(nlayers, nhead, L, K, B, 2, 0,
                                dec.vocab_size, dec.emb_dim)
+    # bf16 serving story: the large matmul weights are stored bf16 so
+    # the step's dots run at the MXU bf16 rate (biases, LN params and
+    # the PE table stay f32; all accumulation stays f32 via _dot)
+    _BF16_KEYS = {"emb_in", "emb_out", "wq", "wk", "wv", "wo",
+                  "xwq", "xwo", "w1", "w2"}
+
+    def as_weight(key, arr):
+        if weights_bf16 and key in _BF16_KEYS:
+            return arr.astype(jnp.bfloat16)
+        return arr
+
     weight_keys = ["emb_in", "emb_out", "pe"]
     inputs = list(memk) + list(memv) + [mem_valid]
-    inputs += [packed[k] for k in weight_keys]
+    inputs += [as_weight(k, packed[k]) for k in weight_keys]
     for i in range(nlayers):
         for k in ["wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",
                   "xwq", "xbq", "xwo", "xbo", "w1", "b1", "w2", "b2",
@@ -412,7 +423,7 @@ def _fused_beam_call(dec: TransformerDecoder, max_length: int,
                     [packed[f"l{i}_ln1"], packed[f"l{i}_ln2"],
                      packed[f"l{i}_ln3"]], axis=0))
             else:
-                inputs.append(packed[f"l{i}_{k}"])
+                inputs.append(as_weight(k, packed[f"l{i}_{k}"]))
 
     n_in = len(inputs)
     out_seq, out_score = pl.pallas_call(
@@ -447,7 +458,8 @@ class FusedBeamDecoder:
     def __init__(self, model: Captioner, variables: Dict,
                  max_length: int = 20, beam_size: int = 3,
                  max_kernel_batch: int = None,
-                 cache_bf16: bool = None):
+                 cache_bf16: bool = None,
+                 weights_bf16: bool = None):
         self.model = model
         self.dec: TransformerDecoder = model.decoder
         # exact type: conditioned subclasses (Event/KeywordProb) inject
@@ -465,6 +477,11 @@ class FusedBeamDecoder:
         if cache_bf16 is None:
             cache_bf16 = self.dec.compute_dtype == jnp.bfloat16
         self.cache_bf16 = bool(cache_bf16)
+        # bf16 weight storage is available but OFF by default: measured
+        # on chip (B=256, trained flagship) it is ~14% SLOWER than f32
+        # weights — the per-dot activation casts cost more than the
+        # bf16 MXU rate saves at these small row counts (PERF.md).
+        self.weights_bf16 = bool(weights_bf16) if weights_bf16 else False
         if max_kernel_batch is None:
             max_kernel_batch = 128 if self.cache_bf16 else 64
         self.max_kernel_batch = max_kernel_batch
@@ -503,13 +520,15 @@ class FusedBeamDecoder:
             return tuple(memk), tuple(memv), mem_valid
 
         cache_bf16 = self.cache_bf16
+        weights_bf16 = self.weights_bf16
 
         @jax.jit
         def run(wav, wav_len):
             memk, memv, mem_valid = prepare(wav, wav_len)
             return _fused_beam_call(dec, max_length, beam_size, packed_j,
                                     memk, memv, mem_valid,
-                                    cache_bf16=cache_bf16)
+                                    cache_bf16=cache_bf16,
+                                    weights_bf16=weights_bf16)
 
         self._run = run
         self._prepare = jax.jit(prepare)
@@ -537,7 +556,8 @@ class FusedBeamDecoder:
                                                  axis=1)
                     s, sc = _fused_beam_call(dec, max_length, beam_size,
                                              packed_j, mk, mv, valid,
-                                             cache_bf16=cache_bf16)
+                                             cache_bf16=cache_bf16,
+                                             weights_bf16=weights_bf16)
                     seqs.append(s)
                     scores.append(sc)
                 return (jnp.concatenate(seqs, axis=0),

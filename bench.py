@@ -163,7 +163,7 @@ def main():
         fb = FusedBeamDecoder(model, variables, max_length=20,
                               beam_size=3)   # bf16 model -> bf16 caches,
         # kernel batch 128 (f32 caches cap it at 64)
-        for B in (64, 128, 256):
+        for B in (64, 128, 256, 512):
             args = make_batch(B)
             dt = _bench_fn(lambda w, l: fb(w, l), args)
             cps = B / dt
