@@ -147,8 +147,6 @@ def _make_beam_kernel(nlayers: int, nhead: int, L: int, K: int, B: int,
 
         v_pad = emb_out_ref.shape[1]
         mem_valid1 = mem_valid_ref[:] > 0                 # [S, B]
-        # valid mask replicated over beams: [S, K*B]
-        mem_validK = jnp.concatenate([mem_valid1] * K, axis=1)
 
         def bsl(k):
             return slice(k * B, (k + 1) * B)
