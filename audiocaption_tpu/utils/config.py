@@ -242,6 +242,20 @@ def build_model_from_config(model_cfg: Dict,
             dropout=enc_args.get("dropout", 0.2))
         input_mode = "features"
         enc_out_dim = enc_args.get("d_model", 512)
+    elif enc_type == "M2TransformerEncoder":
+        # meshed-memory encoder (transformer_encoder.py:22-62) — native
+        # build, no external package needed (models/m2.py)
+        from audiocaption_tpu.models.m2 import M2TransformerEncoder
+        encoder = M2TransformerEncoder(
+            d_model=enc_args.get("d_model", 512),
+            nlayers=enc_args.get("nlayers", 2),
+            nhead=enc_args.get("nhead"),
+            dim_feedforward=enc_args.get("dim_feedforward"),
+            dropout=enc_args.get("dropout", 0.1),
+            n_memory=enc_args.get("m", 40),
+            compute_dtype=compute_dtype)
+        input_mode = "features"
+        enc_out_dim = enc_args.get("d_model", 512)
     else:
         raise ValueError(f"unsupported encoder type: {enc_type}")
 
@@ -273,6 +287,27 @@ def build_model_from_config(model_cfg: Dict,
             dim_feedforward=dec_args.get("dim_feedforward"),
             tie_weights=dec_args.get("tie_weights", False),
             compute_dtype=compute_dtype, **extra)
+    elif dec_type == "M2TransformerDecoder":
+        # meshed decoder (transformer_decoder.py:106-143); d_model =
+        # attn_emb_dim (:114), gates follow the encoder's level count
+        from audiocaption_tpu.models.m2 import (M2TransformerDecoder,
+                                                M2TransformerEncoder)
+        if not isinstance(encoder, M2TransformerEncoder):
+            # reference compat assert, transformer_model.py:100-101
+            raise ValueError("M2TransformerDecoder requires an "
+                             "M2TransformerEncoder")
+        d_model = dec_args.get("attn_emb_dim", enc_out_dim)
+        decoder = M2TransformerDecoder(
+            emb_dim=d_model,
+            vocab_size=vocab,
+            attn_emb_dim=d_model,
+            fc_emb_dim=dec_args.get("fc_emb_dim", enc_out_dim),
+            dropout=dec_args.get("dropout", 0.1),
+            nlayers=dec_args.get("nlayers", 2),
+            nhead=dec_args.get("nhead"),
+            dim_feedforward=dec_args.get("dim_feedforward"),
+            n_enc_levels=encoder.nlayers,
+            compute_dtype=compute_dtype)
     elif dec_type in ("BahAttnCatFcDecoder", "TemporalBahAttnDecoder",
                       "BahAttnAddFcDecoder", "BahAttnDecoder",
                       "ConditionalBahAttnDecoder", "StyleBahAttnDecoder",
