@@ -489,10 +489,15 @@ class FusedBeamDecoder:
         nhead = self.dec._nhead
         dh = self.dec.emb_dim // nhead
         dec = self.dec
-        dec_vars = {"params": variables["params"]["decoder"]}
+        self.variables = variables
         packed_j = self._packed
 
-        def prepare(wav, wav_len):
+        # NOTE ``variables`` is a traced ARGUMENT of the jitted paths,
+        # not a closure: closed-over params would be baked into the HLO
+        # as constants, and a large encoder (Cnn14Rnn ~350 MB f32) then
+        # exceeds the axon remote-compile request limit (HTTP 413).
+        def prepare(variables, wav, wav_len):
+            dec_vars = {"params": variables["params"]["decoder"]}
             enc = model.apply(variables, wav, wav_len,
                               method=Captioner.encode)
             static, _ = dec.apply(dec_vars, enc["attn_emb"],
@@ -521,15 +526,16 @@ class FusedBeamDecoder:
         weights_bf16 = self.weights_bf16
 
         @jax.jit
-        def run(wav, wav_len):
-            memk, memv, mem_valid = prepare(wav, wav_len)
+        def run(variables, wav, wav_len):
+            memk, memv, mem_valid = prepare(variables, wav, wav_len)
             return _fused_beam_call(dec, max_length, beam_size, packed_j,
                                     memk, memv, mem_valid,
                                     cache_bf16=cache_bf16,
                                     weights_bf16=weights_bf16)
 
         self._run = run
-        self._prepare = jax.jit(prepare)
+        self._prepare_v = jax.jit(prepare)
+        self._prepare = lambda w, l: self._prepare_v(self.variables, w, l)
         self._chunked_cache = {}
 
         def make_chunked(B):
@@ -541,8 +547,8 @@ class FusedBeamDecoder:
             # same jit — piecewise dispatch of the slices is a
             # host-round-trip storm over the axon tunnel.
             @jax.jit
-            def run_chunked(w, wl):
-                memk, memv, mem_valid = prepare(w, wl)
+            def run_chunked(variables, w, wl):
+                memk, memv, mem_valid = prepare(variables, w, wl)
                 seqs, scores = [], []
                 for i in range(0, B, mb):
                     end = min(i + mb, B)  # final chunk may be short
@@ -568,12 +574,13 @@ class FusedBeamDecoder:
     def __call__(self, wav, wav_len, n_best: bool = False):
         B = wav.shape[0]
         if B <= self.max_kernel_batch:
-            seq, score = self._run(wav, wav_len)
+            seq, score = self._run(self.variables, wav, wav_len)
         else:
             key = (B, self.max_kernel_batch)
             if key not in self._chunked_cache:
                 self._chunked_cache[key] = self._make_chunked(B)
-            seq, score = self._chunked_cache[key](wav, wav_len)
+            seq, score = self._chunked_cache[key](self.variables, wav,
+                                                  wav_len)
         if n_best:
             return seq, score
         return seq[:, 0]

@@ -332,13 +332,18 @@ class FusedGreedyDecoder:
         self._nhead = self.dec._nhead
         dh = self.dec.emb_dim // self._nhead
 
-        dec_vars = {"params": variables["params"]["decoder"]}
         dec = self.dec
         packed = self._packed
+        model = self.model
 
-        def prepare(wav, wav_len):
-            enc = self.model.apply(variables, wav, wav_len,
-                                   method=Captioner.encode)
+        # NOTE ``variables`` is a traced ARGUMENT of the jitted paths,
+        # not a closure: closed-over params would be baked into the HLO
+        # as constants, and a large encoder (Cnn14Rnn ~350 MB f32) then
+        # exceeds the axon remote-compile request limit (HTTP 413).
+        def prepare(variables, wav, wav_len):
+            dec_vars = {"params": variables["params"]["decoder"]}
+            enc = model.apply(variables, wav, wav_len,
+                              method=Captioner.encode)
             static, _ = dec.apply(dec_vars, enc["attn_emb"],
                                   enc["attn_emb_len"], max_length,
                                   method=TransformerDecoder.init_cache)
@@ -362,11 +367,12 @@ class FusedGreedyDecoder:
                 ~static["mem_kpm"], (1, 0)).astype(jnp.float32)  # [S, B]
             return tuple(memk), tuple(memv), mem_valid
 
-        self._prepare = jax.jit(prepare)
+        self._prepare_v = jax.jit(prepare)
+        self._prepare = lambda w, l: self._prepare_v(self.variables, w, l)
 
         @jax.jit
-        def run(wav, wav_len):
-            memk, memv, mem_valid = prepare(wav, wav_len)
+        def run(variables, wav, wav_len):
+            memk, memv, mem_valid = prepare(variables, wav, wav_len)
             return _fused_decode_call(dec, max_length, packed,
                                       memk, memv, mem_valid)
 
@@ -388,11 +394,12 @@ class FusedGreedyDecoder:
             # whole batch at once is ~1 ms slower than two 128-clip
             # encoder passes (28.1 vs 27.3 ms e2e).
             @jax.jit
-            def run_chunked(w, wl):
+            def run_chunked(variables, w, wl):
                 outs = []
                 for i in range(0, B, mb):
                     end = min(i + mb, B)  # final chunk may be short
                     memk, memv, valid = prepare(
+                        variables,
                         jax.lax.slice_in_dim(w, i, end, axis=0),
                         jax.lax.slice_in_dim(wl, i, end, axis=0))
                     outs.append(_fused_decode_call(
@@ -406,8 +413,8 @@ class FusedGreedyDecoder:
     def __call__(self, wav, wav_len) -> jnp.ndarray:
         B = wav.shape[0]
         if B <= self.max_kernel_batch:
-            return self._run(wav, wav_len)
+            return self._run(self.variables, wav, wav_len)
         key = (B, self.max_kernel_batch)
         if key not in self._chunked_cache:
             self._chunked_cache[key] = self._make_chunked(B)
-        return self._chunked_cache[key](wav, wav_len)
+        return self._chunked_cache[key](self.variables, wav, wav_len)

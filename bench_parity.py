@@ -135,12 +135,16 @@ def main():
 
     results = []
     for story, m in (("f32", model), ("bf16", model_bf16)):
-        eng_g = jax.jit(lambda w, l, m=m: generate(
-            m, variables, w, l, sample_method="greedy",
-            max_length=L)["seq"])(wav, wav_len)
-        eng_b = jax.jit(lambda w, l, m=m: generate(
-            m, variables, w, l, sample_method="beam", beam_size=K,
-            max_length=L)["seq"])(wav, wav_len)
+        # variables are a jit ARGUMENT, not a closure: closed-over params
+        # are baked into the HLO as constants, and a large checkpoint
+        # (Cnn14Rnn ~350 MB) then exceeds the remote-compile request
+        # body limit on the axon tunnel (HTTP 413)
+        eng_g = jax.jit(lambda v, w, l, m=m: generate(
+            m, v, w, l, sample_method="greedy",
+            max_length=L)["seq"])(variables, wav, wav_len)
+        eng_b = jax.jit(lambda v, w, l, m=m: generate(
+            m, v, w, l, sample_method="beam", beam_size=K,
+            max_length=L)["seq"])(variables, wav, wav_len)
         fg = FusedGreedyDecoder(m, variables, max_length=L)
         fb = FusedBeamDecoder(m, variables, max_length=L, beam_size=K)
         print(f"[{story}] beam cache dtype: "
