@@ -47,7 +47,8 @@ from audiocaption_tpu.parallel import make_mesh, replicate, shard_batch
 from audiocaption_tpu.training import (
     create_train_state, make_train_step, swa_init, swa_update)
 from audiocaption_tpu.training.checkpoint import (
-    MetricImprover, load_checkpoint, merge_variables, save_checkpoint)
+    AsyncCheckpointer, MetricImprover, load_checkpoint, merge_variables,
+    save_checkpoint)
 from audiocaption_tpu.training.trainer import make_optimizer
 from audiocaption_tpu.utils.config import (
     build_model_from_config, load_config, load_pretrained_into,
@@ -250,6 +251,7 @@ class Runner:
 
         swa_cfg = cfg.get("swa", {"use": False})
         swa_state = None
+        ckpt_writer = AsyncCheckpointer()
         monitor = MetricImprover(
             trainer_cfg.get("monitor_metric", {}).get("mode", "max"))
         not_improve = 0
@@ -367,11 +369,6 @@ class Runner:
             t_val = time.time() - t0 - t_steps
             improved = monitor(score)
             not_improve = 0 if improved else not_improve + 1
-
-            # single full-parameter fetch per epoch, reused for every
-            # checkpoint file and the SWA average
-            variables = {"params": jax.device_get(state.params),
-                         "batch_stats": jax.device_get(state.batch_stats)}
             if tb is not None:
                 tb.add_scalar("train/loss", train_loss, epoch)
                 tb.add_scalar("train/ss_ratio", ss_ratio, epoch)
@@ -382,27 +379,47 @@ class Runner:
                 not_improve_cnt=not_improve,
                 tokenizer_state=tokenizer.state_dict(),
                 lr_count=int(jax.device_get(state.step)))
-            save_checkpoint(str(exp_dir / "last.pth"), variables, **ckpt_kw)
-            if improved:     # identical payload: copy, don't re-serialize
-                shutil.copyfile(exp_dir / "last.pth", exp_dir / "best.pth")
+            swa_due = (swa_cfg.get("use")
+                       and epoch >= swa_cfg.get("start", 21))
 
-            if swa_cfg.get("use") and epoch >= swa_cfg.get("start", 21):
-                if swa_state is None:
-                    swa_state = swa_init(variables["params"],
-                                         variables["batch_stats"])
-                swa_state = swa_update(swa_state, variables["params"],
-                                       variables["batch_stats"])
+            # fetch + serialize off the critical path: the single
+            # full-parameter device->host fetch (tens of seconds for
+            # Cnn14-size models over a remote-TPU link) and the pickle
+            # write run on the checkpoint worker, overlapped with the
+            # next epoch's steps; submit() first joins the PREVIOUS
+            # epoch's write, so disk state trails by at most one epoch
+            # and ckpt_writer.wait() below makes it current.
+            def _ckpt_job(state=state, improved=improved,
+                          ckpt_kw=ckpt_kw, swa_due=swa_due):
+                nonlocal variables, swa_state
+                variables = {
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats)}
+                save_checkpoint(str(exp_dir / "last.pth"), variables,
+                                **ckpt_kw)
+                if improved:  # identical payload: copy, don't re-pickle
+                    shutil.copyfile(exp_dir / "last.pth",
+                                    exp_dir / "best.pth")
+                if swa_due:
+                    if swa_state is None:
+                        swa_state = swa_init(variables["params"],
+                                             variables["batch_stats"])
+                    swa_state = swa_update(swa_state, variables["params"],
+                                           variables["batch_stats"])
 
+            t_blocked = ckpt_writer.submit(_ckpt_job)
             t_ckpt = time.time() - t0 - t_steps - t_val
             log(f"epoch {epoch}: loss {train_loss:.4f} "
                 f"val_cider {score:.4f} ss {ss_ratio:.3f} "
                 f"({time.time() - t0:.0f}s: steps {t_steps:.0f} "
-                f"val {t_val:.0f} ckpt {t_ckpt:.0f})")
+                f"val {t_val:.0f} ckpt {t_ckpt:.0f} "
+                f"ckpt_wait {t_blocked:.0f})")
 
             if not_improve >= early_stop:
                 log(f"early stop at epoch {epoch}")
                 break
 
+        ckpt_writer.wait()
         final_vars = variables
         if swa_state is not None:
             final_vars = {"params": jax.device_get(swa_state[0]),
@@ -606,6 +623,7 @@ class Runner:
                 return kd_step(state, b, jnp.float32(1.0))
 
         monitor = MetricImprover("max")
+        ckpt_writer = AsyncCheckpointer()
         val_score = self._make_val_scorer(model, tokenizer, val_loader,
                                           val_key2refs)
         for epoch in range(1, epochs + 1):
@@ -613,21 +631,30 @@ class Runner:
             losses = []
             for batch in prefetch_to_device(train_loader):
                 state, metrics = run_step(state, batch)
-                losses.append(float(metrics["loss"]))
+                losses.append(metrics["loss"])  # device scalar, no sync
             params = state.params["model"] if kd_type == "enc" \
                 else state.params
             score = val_score(params, state.batch_stats)
-            variables = {"params": jax.device_get(params),
-                         "batch_stats": jax.device_get(state.batch_stats)}
             improved = monitor(score)
             log(f"kd[{kd_type}] epoch {epoch}: "
-                f"loss {float(np.mean(losses)):.4f} "
+                f"loss {float(np.mean(jax.device_get(losses))):.4f} "
                 f"val_cider {score:.4f} ({time.time() - t0:.0f}s)")
-            ckpt_kw = dict(epoch=epoch,
-                           tokenizer_state=tokenizer.state_dict())
-            save_checkpoint(str(exp_dir / "last.pth"), variables, **ckpt_kw)
-            if improved:     # identical payload: copy, don't re-serialize
-                shutil.copyfile(exp_dir / "last.pth", exp_dir / "best.pth")
+
+            def _ckpt_job(params=params, state=state, epoch=epoch,
+                          improved=improved):
+                nonlocal variables
+                variables = {
+                    "params": jax.device_get(params),
+                    "batch_stats": jax.device_get(state.batch_stats)}
+                save_checkpoint(str(exp_dir / "last.pth"), variables,
+                                epoch=epoch,
+                                tokenizer_state=tokenizer.state_dict())
+                if improved:  # identical payload: copy, don't re-pickle
+                    shutil.copyfile(exp_dir / "last.pth",
+                                    exp_dir / "best.pth")
+
+            ckpt_writer.submit(_ckpt_job)
+        ckpt_writer.wait()
         save_checkpoint(str(exp_dir / "swa.pth"), variables,
                         epoch=epochs,
                         tokenizer_state=tokenizer.state_dict())
@@ -688,6 +715,7 @@ class Runner:
                                    tx)
         log = _make_logger(exp_dir / "train.log")
         monitor = MetricImprover("max")
+        ckpt_writer = AsyncCheckpointer()
         val_score = self._make_val_scorer(model, tokenizer, val_loader,
                                           val_key2refs)
         it = 0
@@ -704,20 +732,29 @@ class Runner:
                 state, metrics = step(state, prep(real), prep(aug),
                                       jnp.float32(disc_fn(it)),
                                       jnp.float32(1.0))
-                losses.append(float(metrics["loss"]))
+                losses.append(metrics["loss"])  # device scalar, no sync
                 it += 1
             score = val_score(state.params, state.batch_stats)
-            variables = {"params": jax.device_get(state.params),
-                         "batch_stats": jax.device_get(state.batch_stats)}
             improved = monitor(score)
-            log(f"aug epoch {epoch}: loss {float(np.mean(losses)):.4f} "
+            log(f"aug epoch {epoch}: "
+                f"loss {float(np.mean(jax.device_get(losses))):.4f} "
                 f"val_cider {score:.4f} discount {disc_fn(it):.3f} "
                 f"({time.time() - t0:.0f}s)")
-            ckpt_kw = dict(epoch=epoch,
-                           tokenizer_state=tokenizer.state_dict())
-            save_checkpoint(str(exp_dir / "last.pth"), variables, **ckpt_kw)
-            if improved:     # identical payload: copy, don't re-serialize
-                shutil.copyfile(exp_dir / "last.pth", exp_dir / "best.pth")
+
+            def _ckpt_job(state=state, epoch=epoch, improved=improved):
+                nonlocal variables
+                variables = {
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats)}
+                save_checkpoint(str(exp_dir / "last.pth"), variables,
+                                epoch=epoch,
+                                tokenizer_state=tokenizer.state_dict())
+                if improved:  # identical payload: copy, don't re-pickle
+                    shutil.copyfile(exp_dir / "last.pth",
+                                    exp_dir / "best.pth")
+
+            ckpt_writer.submit(_ckpt_job)
+        ckpt_writer.wait()
         save_checkpoint(str(exp_dir / "swa.pth"), variables, epoch=epochs,
                         tokenizer_state=tokenizer.state_dict())
         return str(exp_dir)

@@ -53,6 +53,44 @@ def load_checkpoint(path: str) -> Dict:
         return pickle.load(f)
 
 
+class AsyncCheckpointer:
+    """Run per-epoch checkpoint jobs on one worker thread so the
+    device->host parameter fetch + pickle write overlap the next
+    epoch's dispatched steps instead of sitting on the critical path
+    (over a remote-TPU link the fetch alone is tens of seconds for
+    Cnn14-size models).
+
+    The reference saves synchronously every epoch
+    (train_eval/run.py:333-343); the on-disk results here are
+    identical — jobs run in submission order (single worker), each
+    ``submit`` first joins the previous job (bounding in-flight
+    payloads at one and surfacing the previous job's exception), and
+    ``wait()`` joins before anyone reads what the job produced.
+    """
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+        self._ex = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="ckpt")
+        self._fut = None
+
+    def submit(self, job) -> float:
+        """Queue ``job`` (a no-arg callable); blocks until the previous
+        job finished.  Returns seconds spent in that wait — ~0 means
+        the write fully overlapped the epoch."""
+        import time
+        t0 = time.time()
+        self.wait()
+        self._fut = self._ex.submit(job)
+        return time.time() - t0
+
+    def wait(self) -> None:
+        """Join the in-flight job (re-raising its exception, if any)."""
+        if self._fut is not None:
+            fut, self._fut = self._fut, None
+            fut.result()
+
+
 def merge_variables(target: Dict, source: Dict) -> Dict:
     """Shape-checked partial merge: copy source leaves into target where
     paths exist and shapes match (train_util.py:188-202)."""

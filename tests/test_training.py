@@ -291,3 +291,47 @@ def test_depthwise_conv_grad_exact_under_tp_mesh():
     finally:
         set_depthwise_safe_grad(False)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-5)
+
+
+# ------------------------------------------------- async checkpointer ----
+
+def test_async_checkpointer_orders_jobs_and_propagates_errors():
+    """AsyncCheckpointer (training/checkpoint.py): jobs run in
+    submission order on one worker (disk state identical to the
+    synchronous loop), submit() joins the previous job, and a failed
+    job's exception surfaces at the next submit()/wait()."""
+    import time as _time
+
+    from audiocaption_tpu.training.checkpoint import AsyncCheckpointer
+
+    seen = []
+    w = AsyncCheckpointer()
+    for i in range(4):
+        w.submit(lambda i=i: (_time.sleep(0.01), seen.append(i)))
+    w.wait()
+    assert seen == [0, 1, 2, 3]
+    w.wait()                     # idempotent no-op
+
+    def boom():
+        raise RuntimeError("ckpt write failed")
+    w.submit(boom)
+    with pytest.raises(RuntimeError, match="ckpt write failed"):
+        w.submit(lambda: None)
+    # the failed future was consumed; the replacement job still ran
+    w.wait()
+
+
+def test_async_checkpointer_overlap():
+    """submit() returns the seconds blocked on the previous job: ~0
+    when the previous write already finished (fully overlapped)."""
+    import time as _time
+
+    from audiocaption_tpu.training.checkpoint import AsyncCheckpointer
+
+    w = AsyncCheckpointer()
+    assert w.submit(lambda: None) < 0.5       # nothing in flight
+    _time.sleep(0.05)                         # job long done
+    assert w.submit(lambda: _time.sleep(0.2)) < 0.5
+    blocked = w.submit(lambda: None)          # must join the 0.2 s job
+    assert blocked > 0.1
+    w.wait()
