@@ -252,6 +252,11 @@ class Runner:
         swa_cfg = cfg.get("swa", {"use": False})
         swa_state = None
         ckpt_writer = AsyncCheckpointer()
+        # one program, one dispatch: jnp.copy leaves are fresh buffers
+        # (jit without input-output aliasing never aliases inputs), so
+        # the checkpoint worker reads them safely after state donation
+        _snapshot_vars = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.copy, t))
         monitor = MetricImprover(
             trainer_cfg.get("monitor_metric", {}).get("mode", "max"))
         not_improve = 0
@@ -389,12 +394,17 @@ class Runner:
             # next epoch's steps; submit() first joins the PREVIOUS
             # epoch's write, so disk state trails by at most one epoch
             # and ckpt_writer.wait() below makes it current.
-            def _ckpt_job(state=state, improved=improved,
+            # The train step DONATES state (trainer.py donate_argnums),
+            # so a late fetch of state.params would hit deleted
+            # buffers; snapshot to fresh (undonated) device buffers in
+            # one async jitted copy, and let the worker fetch that.
+            snap = _snapshot_vars({"params": state.params,
+                                   "batch_stats": state.batch_stats})
+
+            def _ckpt_job(snap=snap, improved=improved,
                           ckpt_kw=ckpt_kw, swa_due=swa_due):
                 nonlocal variables, swa_state
-                variables = {
-                    "params": jax.device_get(state.params),
-                    "batch_stats": jax.device_get(state.batch_stats)}
+                variables = jax.device_get(snap)
                 save_checkpoint(str(exp_dir / "last.pth"), variables,
                                 **ckpt_kw)
                 if improved:  # identical payload: copy, don't re-pickle

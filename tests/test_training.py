@@ -335,3 +335,20 @@ def test_async_checkpointer_overlap():
     blocked = w.submit(lambda: None)          # must join the 0.2 s job
     assert blocked > 0.1
     w.wait()
+
+
+def test_swa_host_numpy_stays_on_host():
+    """The checkpoint worker feeds host-numpy variables; SWA must stay
+    numpy (no device dispatch from a non-main thread — XLA aborts)."""
+    p0 = {"w": np.asarray([1.0, 1.0], np.float32)}
+    s0 = {"m": np.asarray([0.0], np.float32)}
+    swa = swa_init(p0, s0)
+    swa = swa_update(swa, {"w": np.asarray([3.0, 3.0], np.float32)},
+                     {"m": np.asarray([2.0], np.float32)})
+    swa = swa_update(swa, {"w": np.asarray([5.0, 5.0], np.float32)},
+                     {"m": np.asarray([4.0], np.float32)})
+    assert all(isinstance(x, np.ndarray) and not hasattr(x, "devices")
+               for x in jax.tree_util.tree_leaves(swa[:2]))
+    np.testing.assert_allclose(swa[0]["w"], [4.0, 4.0])  # mean(3,5)
+    np.testing.assert_allclose(swa[1]["m"], [3.0])       # mean(2,4)
+    assert int(swa[2]) == 2
