@@ -25,6 +25,7 @@ import random
 import shutil
 import sys
 import time
+from functools import partial
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -84,6 +85,14 @@ def build_dataset(cfg: Dict):
         return CaptionDataset(**args)
     if t == "InferenceDataset":
         return InferenceDataset(**args)
+    if t in ("WavCaptionDataset", "CaptionWavReadDataset"):
+        from audiocaption_tpu.data.dataset import WavCaptionDataset
+        return WavCaptionDataset(**args)
+    if t in ("ConditionCaptionDataset", "RandomConditionDataset",
+             "KeywordProbCaptionDataset", "KeywordProbInferenceDataset",
+             "TemporalTagCaptionDataset", "TemporalTagInferenceDataset"):
+        from audiocaption_tpu.data import condition_dataset as cd
+        return getattr(cd, t)(**args)
     raise ValueError(t)
 
 
@@ -798,18 +807,28 @@ class Runner:
                        **inference_args) -> Dict[str, List[str]]:
         decode_jit = {}
 
-        def run(wav, wav_len):
-            key = wav.shape
+        def run(wav, wav_len, tag):
+            key = (wav.shape, tag is not None)
             if key not in decode_jit:
-                decode_jit[key] = jax.jit(
-                    lambda v, w, wl: generate(model, v, w, wl,
-                                              **inference_args)["seq"])
-            return decode_jit[key](variables, wav, wav_len)
+                if tag is None:
+                    decode_jit[key] = jax.jit(
+                        lambda v, w, wl: generate(
+                            model, v, w, wl, **inference_args)["seq"])
+                else:
+                    decode_jit[key] = jax.jit(
+                        lambda v, w, wl, t: generate(
+                            model, v, w, wl, temporal_tag=t,
+                            **inference_args)["seq"])
+            if tag is None:
+                return decode_jit[key](variables, wav, wav_len)
+            return decode_jit[key](variables, wav, wav_len, tag)
 
         key2pred: Dict[str, List[str]] = {}
         for batch in loader:
+            tag = (jnp.asarray(batch["temporal_tag"])
+                   if "temporal_tag" in batch else None)
             seq = run(jnp.asarray(batch["wav"]),
-                      jnp.asarray(batch["wav_len"]))
+                      jnp.asarray(batch["wav_len"]), tag)
             caps = tokenizer.decode(np.asarray(seq))
             for aid, cap in zip(batch["audio_id"], caps):
                 key2pred.setdefault(aid, [cap])
@@ -839,33 +858,41 @@ class Runner:
                 return wav.astype(jnp.float32) / 32768.0
             return wav
 
-        @jax.jit
-        def decode(params, batch_stats, wav, wav_len):
+        @partial(jax.jit, static_argnames=("with_tag",))
+        def decode(params, batch_stats, wav, wav_len, tag=None,
+                   with_tag=False):
             return generate(model,
                             {"params": params, "batch_stats": batch_stats},
                             _expand(wav), wav_len,
+                            temporal_tag=tag if with_tag else None,
                             sample_method="greedy")["seq"]
 
-        @jax.jit
-        def decode_idx(params, batch_stats, bank, idx, wav_len):
+        @partial(jax.jit, static_argnames=("with_tag",))
+        def decode_idx(params, batch_stats, bank, idx, wav_len, tag=None,
+                       with_tag=False):
             # device-resident val corpus: gather wav rows on device
             return generate(model,
                             {"params": params, "batch_stats": batch_stats},
                             _expand(jnp.take(bank, idx, axis=0)), wav_len,
+                            temporal_tag=tag if with_tag else None,
                             sample_method="greedy")["seq"]
 
         def score(params, batch_stats) -> float:
             from audiocaption_tpu.data.prefetch import prefetch_to_device
             key2pred: Dict[str, List[str]] = {}
             for batch in prefetch_to_device(val_loader):
+                tag = {}
+                if "temporal_tag" in batch:
+                    tag = {"tag": jnp.asarray(batch["temporal_tag"]),
+                           "with_tag": True}
                 if "wav_idx" in batch:
                     seq = decode_idx(params, batch_stats, wav_bank,
                                      jnp.asarray(batch["wav_idx"]),
-                                     jnp.asarray(batch["wav_len"]))
+                                     jnp.asarray(batch["wav_len"]), **tag)
                 else:
                     seq = decode(params, batch_stats,
                                  jnp.asarray(batch["wav"]),
-                                 jnp.asarray(batch["wav_len"]))
+                                 jnp.asarray(batch["wav_len"]), **tag)
                 caps = tokenizer.decode(np.asarray(seq))
                 for aid, cap in zip(batch["audio_id"], caps):
                     key2pred.setdefault(aid, [cap])
@@ -922,6 +949,194 @@ class Runner:
         result = evaluate_captions(key2pred, key2refs)
         score_path = Path(experiment_path) / eval_cfg.get(
             "score_output", "results/scores.txt")
+        score_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(score_path, "w") as f:
+            for k, v in result.items():
+                if isinstance(v, float):
+                    f.write(f"{k}: {v:.4f}\n")
+        return result
+
+    # ----------------------------------------------------- SED/temporal --
+
+    def train_sed(self, config: str, *overrides) -> str:
+        """Train the Cnn8Rnn SED net framewise on a corpus with event
+        segment annotations ({split}_sed.json from
+        synthetic_corpus.generate_temporal), selecting by val
+        temporal-tag accuracy of the full host-side tag pipeline.  The
+        reference ships this net pretrained only (hf_wrapper.py:
+        1791-1859) — this closes the training loop for new corpora."""
+        import optax
+        from audiocaption_tpu.models.sed import Cnn8RnnSedModel
+        from audiocaption_tpu.ops.frontend import (
+            CNN14_MEL_32K, LogMelFrontend)
+        from audiocaption_tpu.training.sed_trainer import (
+            build_lms_bank, evaluate_tags, framewise_targets,
+            load_sed_annotations, make_sed_train_step)
+
+        cfg = load_config(config, parse_overrides(overrides))
+        seed = cfg.get("seed", 1)
+        set_seed(seed)
+        exp_dir = Path(cfg["experiment_path"]) / f"seed_{seed}"
+        exp_dir.mkdir(parents=True, exist_ok=True)
+        with open(exp_dir / "config.yaml", "w") as f:
+            yaml.safe_dump(cfg, f)
+        log = _make_logger(exp_dir / "train.log")
+
+        classes_num = cfg["model"]["args"].get("classes_num", 447)
+        model = Cnn8RnnSedModel(classes_num=classes_num)
+        frontend = LogMelFrontend(CNN14_MEL_32K)
+
+        t0 = time.time()
+        banks, targets, tags = {}, {}, {}
+        for split in ("train", "val"):
+            ann = load_sed_annotations(cfg["data"][split]["sed"])
+            ids = [a["audio_id"] for a in ann]
+            banks[split] = build_lms_bank(cfg["data"][split]["h5"], ids,
+                                          frontend)
+            n_frames = banks[split].shape[1]
+            targets[split] = jnp.asarray(np.stack(
+                [framewise_targets(a["segments"], n_frames, classes_num)
+                 for a in ann]))
+            tags[split] = np.asarray([a["tag"] for a in ann], np.int32)
+        log(f"lms banks on device: train {banks['train'].shape} "
+            f"val {banks['val'].shape} f16 ({time.time() - t0:.0f}s)")
+
+        variables = model.init(jax.random.PRNGKey(seed),
+                               jnp.zeros((1,) + banks["train"].shape[1:],
+                                         jnp.float32))
+        variables = {"params": variables["params"],
+                     "batch_stats": variables["batch_stats"]}
+        lr = float(cfg.get("optimizer", {}).get("args", {})
+                   .get("lr", 1e-3))
+        tx = optax.adam(lr)
+        opt_state = tx.init(variables["params"])
+        step_fn = make_sed_train_step(model, tx)
+
+        epochs = int(cfg.get("trainer", {}).get("epochs", 15))
+        bs = int(cfg.get("trainer", {}).get("batch_size", 32))
+        rng = np.random.RandomState(seed)
+        n = banks["train"].shape[0]
+        best_acc, best_epoch = -1.0, 0
+        key = jax.random.PRNGKey(seed + 1)
+        for epoch in range(1, epochs + 1):
+            te = time.time()
+            perm = rng.permutation(n)
+            losses = []
+            for i in range(0, n - bs + 1, bs):
+                key, sub = jax.random.split(key)
+                idx = jnp.asarray(perm[i:i + bs])
+                opt_state, variables, loss = step_fn(
+                    opt_state, variables, banks["train"],
+                    targets["train"], idx, sub)
+                losses.append(loss)
+            acc, _ = evaluate_tags(model, variables, banks["val"],
+                                   tags["val"])
+            mean_loss = float(np.mean([np.asarray(l) for l in losses]))
+            log(f"epoch {epoch}: bce {mean_loss:.4f} "
+                f"val_tag_acc {acc:.4f} ({time.time() - te:.0f}s)")
+            if acc > best_acc:
+                best_acc, best_epoch = acc, epoch
+                save_checkpoint(str(exp_dir / "best.pth"), variables,
+                                epoch=epoch,
+                                extra={"classes_num": classes_num,
+                                       "val_tag_acc": acc})
+        save_checkpoint(str(exp_dir / "last.pth"), variables,
+                        epoch=epochs,
+                        extra={"classes_num": classes_num})
+        log(f"done; best val tag accuracy {best_acc:.4f} "
+            f"(epoch {best_epoch})")
+        return str(exp_dir)
+
+    def _load_sed(self, sed_experiment_path: str, resume: str = "best.pth"):
+        from audiocaption_tpu.models.sed import Cnn8RnnSedModel
+        from audiocaption_tpu.ops.frontend import (
+            CNN14_MEL_32K, LogMelFrontend)
+        ckpt = load_checkpoint(str(Path(sed_experiment_path) / resume))
+        model = Cnn8RnnSedModel(
+            classes_num=ckpt.get("classes_num", 447))
+        return model, ckpt["variables"], LogMelFrontend(CNN14_MEL_32K)
+
+    def predict_temporal(self, experiment_path: str,
+                         sed_experiment_path: str, eval_config: str,
+                         *overrides) -> Dict[str, List[str]]:
+        """Decode with SED-PREDICTED temporal tags — the full serving
+        pipeline of the temporal model (hf_wrapper.py:1942-1973: shared
+        log-mel -> SED framewise -> double_threshold -> tag ->
+        tag-conditioned beam decode), but from experiment directories
+        trained in this framework.  If the eval dataset carries
+        ground-truth ``temporal_tag``, SED tag accuracy is reported to
+        ``tag_output``."""
+        from audiocaption_tpu.models.sed import framewise_to_temporal_tags
+
+        eval_cfg = load_config(eval_config, parse_overrides(overrides))
+        resume = eval_cfg.get("resume", "swa.pth")
+        cfg, model, variables, tokenizer = self._load_experiment(
+            experiment_path, resume)
+        sed_model, sed_vars, sed_frontend = self._load_sed(
+            sed_experiment_path, eval_cfg.get("sed_resume", "best.pth"))
+        loader = build_dataloader(eval_cfg["data"]["test"], train=False)
+        inference_args = dict(eval_cfg.get("inference_args",
+                                           {"sample_method": "beam",
+                                            "beam_size": 3}))
+        inference_args.pop("temporal_tag", None)
+
+        sed_fn = jax.jit(lambda v, w: sed_model.apply(
+            v, sed_frontend(w), train=False)["framewise_output"])
+        decode_jit = {}
+
+        def decode(wav, wav_len, tag):
+            key = wav.shape
+            if key not in decode_jit:
+                decode_jit[key] = jax.jit(
+                    lambda v, w, wl, t: generate(
+                        model, v, w, wl, temporal_tag=t,
+                        **inference_args)["seq"])
+            return decode_jit[key](variables, wav, wav_len, tag)
+
+        key2pred: Dict[str, List[str]] = {}
+        n_match = n_tag = 0
+        for batch in loader:
+            wav = jnp.asarray(batch["wav"])
+            framewise = np.asarray(sed_fn(sed_vars, wav))
+            sed_tag = framewise_to_temporal_tags(framewise)
+            if "temporal_tag" in batch:
+                gt = np.asarray(batch["temporal_tag"], np.int32)
+                n_match += int((sed_tag == gt).sum())
+                n_tag += len(gt)
+            seq = decode(wav, jnp.asarray(batch["wav_len"]),
+                         jnp.asarray(sed_tag))
+            caps = tokenizer.decode(np.asarray(seq))
+            for aid, cap in zip(batch["audio_id"], caps):
+                key2pred.setdefault(aid, [cap])
+
+        out_path = Path(experiment_path) / eval_cfg.get(
+            "caption_output", "predictions/predictions_sedtag.json")
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump({"predictions": [
+                {"filename": k, "caption": v[0]}
+                for k, v in key2pred.items()]}, f, indent=2)
+        if n_tag:
+            tag_path = Path(experiment_path) / eval_cfg.get(
+                "tag_output", "results/sed_tag_accuracy.txt")
+            tag_path.parent.mkdir(parents=True, exist_ok=True)
+            with open(tag_path, "w") as f:
+                f.write(f"sed_tag_accuracy: {n_match / n_tag:.4f} "
+                        f"({n_match}/{n_tag})\n")
+        return key2pred
+
+    def evaluate_temporal(self, experiment_path: str,
+                          sed_experiment_path: str, eval_config: str,
+                          *overrides) -> Dict:
+        """predict_temporal + caption metrics (base.py:72-127)."""
+        eval_cfg = load_config(eval_config, parse_overrides(overrides))
+        key2pred = self.predict_temporal(
+            experiment_path, sed_experiment_path, eval_config, *overrides)
+        key2refs = load_caption_json(eval_cfg["data"]["test"]["caption"])
+        key2refs = {k: v for k, v in key2refs.items() if k in key2pred}
+        result = evaluate_captions(key2pred, key2refs)
+        score_path = Path(experiment_path) / eval_cfg.get(
+            "score_output", "results/scores_sedtag.txt")
         score_path.parent.mkdir(parents=True, exist_ok=True)
         with open(score_path, "w") as f:
             for k, v in result.items():
@@ -1108,13 +1323,19 @@ def _make_logger(path: Path):
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="audiocaption_tpu.cli.run")
     sub = parser.add_subparsers(dest="command", required=True)
-    for name in ("train", "train_kd", "train_aug", "debug"):
+    for name in ("train", "train_kd", "train_aug", "train_sed", "debug"):
         p = sub.add_parser(name)
         p.add_argument("--config", required=True)
         p.add_argument("overrides", nargs="*")
     for name in ("evaluate", "predict"):
         p = sub.add_parser(name)
         p.add_argument("--experiment_path", required=True)
+        p.add_argument("--eval_config", required=True)
+        p.add_argument("overrides", nargs="*")
+    for name in ("predict_temporal", "evaluate_temporal"):
+        p = sub.add_parser(name)
+        p.add_argument("--experiment_path", required=True)
+        p.add_argument("--sed_experiment_path", required=True)
         p.add_argument("--eval_config", required=True)
         p.add_argument("overrides", nargs="*")
     for name in ("ensemble_predict", "ensemble_evaluate", "dcase_predict"):
@@ -1130,8 +1351,18 @@ def main(argv=None):
         runner.train_kd(args.config, *args.overrides)
     elif args.command == "train_aug":
         runner.train_aug(args.config, *args.overrides)
+    elif args.command == "train_sed":
+        runner.train_sed(args.config, *args.overrides)
     elif args.command == "debug":
         runner.debug(args.config, *args.overrides)
+    elif args.command == "predict_temporal":
+        runner.predict_temporal(args.experiment_path,
+                                args.sed_experiment_path,
+                                args.eval_config, *args.overrides)
+    elif args.command == "evaluate_temporal":
+        print(runner.evaluate_temporal(args.experiment_path,
+                                       args.sed_experiment_path,
+                                       args.eval_config, *args.overrides))
     elif args.command == "evaluate":
         print(runner.evaluate(args.experiment_path, args.eval_config,
                               *args.overrides))

@@ -167,6 +167,173 @@ def sample_events(rng: np.random.RandomState) -> List[int]:
     return [a, b]
 
 
+# ------------------------------------------------------- temporal corpus --
+# Clips whose events overlap in time, for the temporal-tag pipeline
+# (hf_wrapper.py Cnn14RnnTempAttnGruModel; tag table README.md:114-124):
+# 0 = single event, 1 = simultaneous, 2 = sequential, 3 = complex.
+# The generator also emits the ground-truth event segments (for SED
+# training) and the per-clip tag (for tag-conditioned captioner
+# training).  Segment geometry is chosen so that running the clip
+# through the reference tag logic (segments_to_temporal_tag with
+# thre=0.5) reproduces the intended tag exactly — asserted at
+# generation time.
+
+TEMPLATES_WHILE = [
+    "a {a} while a {b} sounds",
+    "a {a} and a {b} at the same time",
+    "a {b} joins a {a}",
+    "a {a} together with a {b}",
+    "a {a} as a {b} plays along",
+]
+
+TEMPLATES_COMPLEX = [
+    "a {a} with a {b} and then a {c}",
+    "a {a} and a {b} together followed by a {c}",
+    "a {b} joins a {a} before a {c}",
+    "a {a} while a {b} then a {c}",
+    "after a {a} and a {b} together a {c} sounds",
+]
+
+
+def sample_temporal_segments(rng: np.random.RandomState, duration: float
+                             ) -> Tuple[List[Tuple[int, float, float]], int]:
+    """Sample (segments [(class, onset, offset)], temporal tag)."""
+    r = rng.rand()
+    if r < 0.25:                                  # tag 0: single event
+        a, = rng.choice(len(EVENTS), 1, replace=False)
+        on = rng.uniform(0.5, 2.0)
+        off = on + rng.uniform(4.0, min(7.0, duration - 0.3 - on))
+        return [(int(a), on, off)], 0
+    if r < 0.55:                                  # tag 1: simultaneous
+        a, b = rng.choice(len(EVENTS), 2, replace=False)
+        on_a = rng.uniform(0.5, 1.5)
+        off_a = on_a + rng.uniform(5.5, min(7.5, duration - 0.4 - on_a))
+        on_b = on_a + rng.uniform(0.8, 1.8)
+        off_b = min(off_a + rng.uniform(-0.5, 1.0), duration - 0.3)
+        return [(int(a), on_a, off_a), (int(b), on_b, off_b)], 1
+    if r < 0.85:                                  # tag 2: sequential
+        a, b = rng.choice(len(EVENTS), 2, replace=False)
+        on_a = rng.uniform(0.4, 1.2)
+        off_a = on_a + rng.uniform(2.5, 3.6)
+        on_b = off_a + rng.uniform(0.7, 1.5)
+        off_b = on_b + rng.uniform(2.5, min(3.6, duration - 0.3 - on_b))
+        return [(int(a), on_a, off_a), (int(b), on_b, off_b)], 2
+    # tag 3: complex — a/b overlap, then c after both
+    a, b, c = rng.choice(len(EVENTS), 3, replace=False)
+    on_a = rng.uniform(0.3, 0.8)
+    off_a = on_a + rng.uniform(3.2, 4.0)
+    on_b = on_a + rng.uniform(0.6, 1.2)
+    off_b = off_a + rng.uniform(-0.2, 0.4)
+    on_c = max(off_a, off_b) + rng.uniform(0.6, 1.2)
+    off_c = on_c + rng.uniform(2.0, min(3.0, duration - 0.3 - on_c))
+    return [(int(a), on_a, off_a), (int(b), on_b, off_b),
+            (int(c), on_c, off_c)], 3
+
+
+def synth_from_segments(rng: np.random.RandomState,
+                        segments: List[Tuple[int, float, float]],
+                        sr: int, duration: float) -> np.ndarray:
+    """Overlapping events sum; levels mildly randomized (no level cue)."""
+    n = int(sr * duration)
+    wav = rng.randn(n).astype(np.float32) * 0.003  # noise floor
+    for cls, on, off in segments:
+        s, e = int(on * sr), int(off * sr)
+        t = np.arange(e - s, dtype=np.float32) / sr
+        x = EVENTS[cls][1](rng, t, sr)
+        wav[s:e] += x * _ramp(e - s, sr) * rng.uniform(0.25, 0.5)
+    peak = np.abs(wav).max()
+    if peak > 0.99:
+        wav *= 0.99 / peak
+    return wav
+
+
+def temporal_captions_for(rng: np.random.RandomState,
+                          segments: List[Tuple[int, float, float]],
+                          tag: int) -> List[str]:
+    """5 paraphrases; event phrases ordered by onset."""
+    order = sorted(range(len(segments)), key=lambda i: segments[i][1])
+    phrases = [EVENTS[segments[i][0]][0] for i in order]
+    if tag == 0:
+        temps, fills = TEMPLATES_1, {"a": phrases[0]}
+    elif tag == 1:
+        temps, fills = TEMPLATES_WHILE, {"a": phrases[0], "b": phrases[1]}
+    elif tag == 2:
+        temps, fills = TEMPLATES_2, {"a": phrases[0], "b": phrases[1]}
+    else:
+        temps, fills = TEMPLATES_COMPLEX, {"a": phrases[0],
+                                           "b": phrases[1], "c": phrases[2]}
+    perm = rng.permutation(len(temps))
+    return [temps[i].format(**fills) for i in perm]
+
+
+def generate_temporal(output_dir: str, n_train: int = 2000,
+                      n_val: int = 200, n_test: int = 200,
+                      sr: int = 32000, duration: float = 10.0,
+                      seed: int = 0) -> Dict[str, Dict[str, str]]:
+    """Temporal-structure corpus: waveforms + captions + per-clip
+    temporal tag csv + ground-truth event segments json (SED targets).
+    32 kHz default to match the temporal model's frontend
+    (hf_wrapper.py:1898: Cnn14 @ 32 kHz)."""
+    import h5py
+    from audiocaption_tpu.data.tokenizer import DictTokenizer
+    from audiocaption_tpu.models.sed import segments_to_temporal_tag
+
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    sizes = {"train": n_train, "val": n_val, "test": n_test}
+    paths: Dict[str, Dict[str, str]] = {}
+    train_caps: List[str] = []
+    for si, (split, n) in enumerate(sizes.items()):
+        rng = np.random.RandomState(7000 + seed * 1000 + si)
+        h5p = out / f"{split}_waveform.h5"
+        audios, sed_audios = [], []
+        with h5py.File(h5p, "w") as f, \
+                open(out / f"{split}_wav.csv", "w") as csv, \
+                open(out / f"{split}_tag.csv", "w") as tagf:
+            csv.write("audio_id\thdf5_path\n")
+            tagf.write("audio_id\ttag\n")
+            for i in range(n):
+                aid = f"syntmp_{split}_{i:05d}"
+                segments, tag = sample_temporal_segments(rng, duration)
+                # the sampler's geometry must reproduce the intended tag
+                # through the reference overlap logic
+                assert segments_to_temporal_tag(segments) == tag, \
+                    (aid, segments, tag)
+                wav = synth_from_segments(rng, segments, sr, duration)
+                f[aid] = wav.astype(np.float16)
+                csv.write(f"{aid}\t{h5p}\n")
+                tagf.write(f"{aid}\t{tag}\n")
+                caps = temporal_captions_for(rng, segments, tag)
+                audios.append({"audio_id": aid, "captions": [
+                    {"tokens": c, "caption": c.capitalize() + ".",
+                     "cap_id": str(j)} for j, c in enumerate(caps)]})
+                sed_audios.append({
+                    "audio_id": aid, "tag": tag,
+                    "segments": [[int(c), round(float(on), 3),
+                                  round(float(off), 3)]
+                                 for c, on, off in segments]})
+                if split == "train":
+                    train_caps.extend(caps)
+        with open(out / f"{split}_text.json", "w") as f:
+            json.dump({"audios": audios}, f)
+        with open(out / f"{split}_sed.json", "w") as f:
+            json.dump({"audios": sed_audios}, f)
+        paths[split] = {"wav_csv": str(out / f"{split}_wav.csv"),
+                        "text": str(out / f"{split}_text.json"),
+                        "h5": str(h5p),
+                        "tag": str(out / f"{split}_tag.csv"),
+                        "sed": str(out / f"{split}_sed.json")}
+
+    tok = DictTokenizer()
+    for c in train_caps:
+        for w in c.split():
+            tok.add_word(w)
+    with open(out / "vocab.pkl", "wb") as f:
+        pickle.dump(tok.state_dict(), f)
+    paths["vocab"] = {"vocab": str(out / "vocab.pkl")}
+    return paths
+
+
 def generate(output_dir: str, n_train: int = 2000, n_val: int = 200,
              n_test: int = 200, sr: int = 16000, duration: float = 10.0,
              seed: int = 0) -> Dict[str, Dict[str, str]]:
@@ -241,6 +408,14 @@ def main(argv=None):
     g.add_argument("--sr", type=int, default=16000)
     g.add_argument("--duration", type=float, default=10.0)
     g.add_argument("--seed", type=int, default=0)
+    gt = sub.add_parser("generate_temporal")
+    gt.add_argument("output_dir")
+    gt.add_argument("--n_train", type=int, default=2000)
+    gt.add_argument("--n_val", type=int, default=200)
+    gt.add_argument("--n_test", type=int, default=200)
+    gt.add_argument("--sr", type=int, default=32000)
+    gt.add_argument("--duration", type=float, default=10.0)
+    gt.add_argument("--seed", type=int, default=0)
     c = sub.add_parser("ceiling")
     c.add_argument("text_json")
     c.add_argument("--n_audios", type=int, default=0)
@@ -248,6 +423,11 @@ def main(argv=None):
     if args.command == "generate":
         paths = generate(args.output_dir, args.n_train, args.n_val,
                          args.n_test, args.sr, args.duration, args.seed)
+        print(json.dumps(paths, indent=1))
+    elif args.command == "generate_temporal":
+        paths = generate_temporal(args.output_dir, args.n_train,
+                                  args.n_val, args.n_test, args.sr,
+                                  args.duration, args.seed)
         print(json.dumps(paths, indent=1))
     else:
         print(json.dumps(ceiling(args.text_json, args.n_audios), indent=1))

@@ -103,6 +103,43 @@ class RandomConditionDataset(InferenceDataset):
         return item
 
 
+class TemporalTagCaptionDataset(CaptionDataset):
+    """CaptionDataset + per-audio temporal tag (0-3) from a tsv
+    (``audio_id\ttag``) — training data for the temporal-tag
+    controllable captioner (hf_wrapper.py Cnn14RnnTempAttnGruModel;
+    tag semantics README.md:114-124: 0 single, 1 simultaneous,
+    2 sequential, 3 complex)."""
+
+    def __init__(self, features, caption: str, temporal_tag: str,
+                 **kwargs):
+        super().__init__(features, caption, **kwargs)
+        self.key_to_tag = load_dict_from_csv(temporal_tag,
+                                             ("audio_id", "tag"))
+
+    def __getitem__(self, index):
+        item = super().__getitem__(index)
+        item["temporal_tag"] = np.int32(
+            self.key_to_tag[item["audio_id"]])
+        return item
+
+
+class TemporalTagInferenceDataset(InferenceDataset):
+    """InferenceDataset + ground-truth temporal tag per audio (for
+    tag-conditioned decoding with oracle tags; SED-predicted tags come
+    from the ``predict_temporal`` runner instead)."""
+
+    def __init__(self, features, temporal_tag: str, **kwargs):
+        super().__init__(features, **kwargs)
+        self.key_to_tag = load_dict_from_csv(temporal_tag,
+                                             ("audio_id", "tag"))
+
+    def __getitem__(self, index):
+        item = super().__getitem__(index)
+        item["temporal_tag"] = np.int32(
+            self.key_to_tag[item["audio_id"]])
+        return item
+
+
 class _KeywordMixin:
 
     def _init_keywords(self, keyword_prob: str,
