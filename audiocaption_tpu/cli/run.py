@@ -241,6 +241,9 @@ class Runner:
                 sample_temp=rl_cfg.get("sample_temp", 1.0))
             rl_scorer = FastCiderD()
             rl_key = jax.random.PRNGKey(seed + 17)
+            _rl_gather = jax.jit(
+                lambda bank, idx: jnp.take(bank, idx, axis=0)
+                .astype(jnp.float32))
 
             @jax.jit
             def apply_grads(state, grads):
@@ -298,8 +301,7 @@ class Runner:
         # Worth it on the remote-TPU link where the per-step wav
         # transfer (~20 MB) otherwise dominates the ~120 ms compute.
         train_bank = val_bank = None
-        if (cfg["data"]["train"].get("device_resident")
-                and not rl_train and mesh is None):
+        if cfg["data"]["train"].get("device_resident") and mesh is None:
             from audiocaption_tpu.data.device_bank import build_wav_bank
             t_bank = time.time()
             train_bank, bank_lens = build_wav_bank(train_loader.dataset)
@@ -360,6 +362,13 @@ class Runner:
                         ss_ratio -= ss_per_iter
                 if rl_train:
                     keys = list(batch["audio_id"])
+                    if train_bank is not None:
+                        # device-resident corpus: gather the wav rows on
+                        # device (few-KB index upload instead of the
+                        # ~40 MB/step waveform batch over the link)
+                        batch = dict(batch, wav=_rl_gather(
+                            train_bank,
+                            jnp.asarray(np.asarray(batch["wav_idx"]))))
                     rl_key, sub = jax.random.split(rl_key)
                     _, grads, rl_metrics = scst_step(
                         model,

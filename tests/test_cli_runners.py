@@ -146,6 +146,11 @@ def test_scst_training(workspace, base_exp):
     cfg["trainer"] = {"epochs": 1, "max_grad_norm": 1.0,
                       "finetune": True}
     cfg["rl"] = {"max_length": 8}
+    # exercise the device-resident corpus path for SCST (the wav rows
+    # are gathered on device from the bank instead of shipped per step)
+    import copy
+    cfg["data"] = copy.deepcopy(cfg["data"])
+    cfg["data"]["train"]["device_resident"] = True
     p = root / "scst.yaml"
     with open(p, "w") as f:
         yaml.safe_dump(cfg, f)
