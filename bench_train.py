@@ -85,7 +85,7 @@ def main():
         step = make_train_step(model,
                                masked_token_loss("label_smoothing", 0.1),
                                tx, use_ss=use_ss, donate=True)
-        for B in (64, 64, 128):  # first config twice: the tunnel's first train program measures pathologically slow
+        for B in (64, 64, 128, 256):  # first config twice: the tunnel's first train program measures pathologically slow
             state = create_train_state(
                 jax.device_put(variables, jax.devices()[0]), tx,
                 jax.random.PRNGKey(0))
@@ -98,14 +98,20 @@ def main():
             cl = jnp.asarray(rng.randint(5, Lc, B).astype(np.int32))
             batch = {"wav": wav, "wav_len": wl, "cap": cap, "cap_len": cl}
             ssr = jnp.float32(0.7 if use_ss else 1.0)
-            for _ in range(3):
-                state, metrics = step(state, batch, ssr)
-            jax.block_until_ready(metrics["loss"])
-            n = 15
-            t0 = time.perf_counter()
-            for _ in range(n):
-                state, metrics = step(state, batch, ssr)
-            _ = float(metrics["loss"])
+            try:
+                for _ in range(3):
+                    state, metrics = step(state, batch, ssr)
+                jax.block_until_ready(metrics["loss"])
+                n = 15
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    state, metrics = step(state, batch, ssr)
+                _ = float(metrics["loss"])
+            except Exception as e:
+                print(f"train ss={'on' if use_ss else 'off'} B={B}: "
+                      f"failed ({type(e).__name__}: {str(e)[:120]})",
+                      flush=True)
+                continue
             dt = (time.perf_counter() - t0) / n
             mfu_s = ""
             if flops_per_clip and peak:
