@@ -923,7 +923,14 @@ class Runner:
         if ckpt.get("tokenizer"):
             tokenizer.load_state_dict(ckpt["tokenizer"])
             tokenizer.loaded = True
-        model, _ = build_model_from_config(cfg["model"],
+        # SCST experiments store the wrapped config; at inference the
+        # ScstWrapper is a passthrough (reference rl_model.py:19-22), so
+        # unwrap to the inner encoder/decoder node (same as train,
+        # reference run.py:67-75)
+        model_cfg = cfg["model"]
+        if _short(model_cfg.get("type", "")) == "ScstWrapper":
+            model_cfg = model_cfg["model"]
+        model, _ = build_model_from_config(model_cfg,
                                            vocab_size=len(tokenizer))
         return cfg, model, ckpt["variables"], tokenizer
 
@@ -1184,11 +1191,15 @@ class Runner:
         def run(wav, wav_len):
             key = wav.shape
             if key not in decode_jit:
+                # variables_list is a traced ARGUMENT, not a closure:
+                # N closed-over member models (2x ~350 MB Cnn14Rnn)
+                # baked as HLO constants exceed the axon remote-compile
+                # request limit (HTTP 413)
                 decode_jit[key] = jax.jit(
-                    lambda w, wl: ensemble_generate(
-                        models, variables_list, w, wl,
+                    lambda vs, w, wl: ensemble_generate(
+                        models, vs, w, wl,
                         **inference_args)["seq"])
-            return decode_jit[key](wav, wav_len)
+            return decode_jit[key](variables_list, wav, wav_len)
 
         key2pred: Dict[str, List[str]] = {}
         for batch in loader:
