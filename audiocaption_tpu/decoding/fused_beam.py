@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from audiocaption_tpu.decoding.fused_greedy import (
-    HPAD, pack_decoder_weights)
+    HPAD, _tree_bytes, BAKE_LIMIT_BYTES, pack_decoder_weights)
 from audiocaption_tpu.models.captioner import Captioner
 from audiocaption_tpu.models.transformer_decoder import TransformerDecoder
 
@@ -457,7 +457,8 @@ class FusedBeamDecoder:
                  max_length: int = 20, beam_size: int = 3,
                  max_kernel_batch: int = None,
                  cache_bf16: bool = None,
-                 weights_bf16: bool = None):
+                 weights_bf16: bool = None,
+                 bake_params: bool = None):
         self.model = model
         self.dec: TransformerDecoder = model.decoder
         # exact type: conditioned subclasses (Event/KeywordProb) inject
@@ -492,10 +493,15 @@ class FusedBeamDecoder:
         self.variables = variables
         packed_j = self._packed
 
-        # NOTE ``variables`` is a traced ARGUMENT of the jitted paths,
-        # not a closure: closed-over params would be baked into the HLO
-        # as constants, and a large encoder (Cnn14Rnn ~350 MB f32) then
-        # exceeds the axon remote-compile request limit (HTTP 413).
+        # ``variables`` handling is two-mode (bake_params), exactly as
+        # in FusedGreedyDecoder: small models close over the params so
+        # XLA constant-folds them; large models (Cnn14Rnn ~350 MB f32)
+        # keep them as traced jit arguments to stay under the axon
+        # remote-compile request limit (HTTP 413).
+        if bake_params is None:
+            bake_params = _tree_bytes(variables) <= BAKE_LIMIT_BYTES
+        self.bake_params = bool(bake_params)
+
         def prepare(variables, wav, wav_len):
             dec_vars = {"params": variables["params"]["decoder"]}
             enc = model.apply(variables, wav, wav_len,
@@ -525,7 +531,6 @@ class FusedBeamDecoder:
         cache_bf16 = self.cache_bf16
         weights_bf16 = self.weights_bf16
 
-        @jax.jit
         def run(variables, wav, wav_len):
             memk, memv, mem_valid = prepare(variables, wav, wav_len)
             return _fused_beam_call(dec, max_length, beam_size, packed_j,
@@ -533,9 +538,14 @@ class FusedBeamDecoder:
                                     cache_bf16=cache_bf16,
                                     weights_bf16=weights_bf16)
 
-        self._run = run
-        self._prepare_v = jax.jit(prepare)
-        self._prepare = lambda w, l: self._prepare_v(self.variables, w, l)
+        if self.bake_params:
+            self._prepare = jax.jit(functools.partial(prepare, variables))
+            self._run = jax.jit(functools.partial(run, variables))
+        else:
+            prepare_v = jax.jit(prepare)
+            self._prepare = lambda w, l: prepare_v(self.variables, w, l)
+            run_v = jax.jit(run)
+            self._run = lambda w, l: run_v(self.variables, w, l)
         self._chunked_cache = {}
 
         def make_chunked(B):
@@ -546,7 +556,6 @@ class FusedBeamDecoder:
             # invoke the VMEM-capped kernel per memory slice inside the
             # same jit — piecewise dispatch of the slices is a
             # host-round-trip storm over the axon tunnel.
-            @jax.jit
             def run_chunked(variables, w, wl):
                 memk, memv, mem_valid = prepare(variables, w, wl)
                 seqs, scores = [], []
@@ -567,20 +576,22 @@ class FusedBeamDecoder:
                 return (jnp.concatenate(seqs, axis=0),
                         jnp.concatenate(scores, axis=0))
 
-            return run_chunked
+            if self.bake_params:
+                return jax.jit(functools.partial(run_chunked, variables))
+            chunked_v = jax.jit(run_chunked)
+            return lambda w, wl: chunked_v(self.variables, w, wl)
 
         self._make_chunked = make_chunked
 
     def __call__(self, wav, wav_len, n_best: bool = False):
         B = wav.shape[0]
         if B <= self.max_kernel_batch:
-            seq, score = self._run(self.variables, wav, wav_len)
+            seq, score = self._run(wav, wav_len)
         else:
             key = (B, self.max_kernel_batch)
             if key not in self._chunked_cache:
                 self._chunked_cache[key] = self._make_chunked(B)
-            seq, score = self._chunked_cache[key](self.variables, wav,
-                                                  wav_len)
+            seq, score = self._chunked_cache[key](wav, wav_len)
         if n_best:
             return seq, score
         return seq[:, 0]

@@ -41,6 +41,20 @@ from audiocaption_tpu.models.transformer_decoder import TransformerDecoder
 
 HPAD = 128   # lanes per head block
 
+# Params at or under this size are closed over (constant-folded into the
+# HLO) by default — measurably faster, because XLA folds BN scales and
+# layout rearrangements of the weights at compile time.  Above it the
+# params stay traced jit arguments: a large encoder (Cnn14Rnn ~350 MB
+# f32) constant-folded into the program exceeds the axon remote-compile
+# request limit (HTTP 413).
+BAKE_LIMIT_BYTES = 128 * 1024 * 1024
+
+
+def _tree_bytes(tree) -> int:
+    return sum(int(np.prod(x.shape)) * jnp.dtype(x.dtype).itemsize
+               for x in jax.tree_util.tree_leaves(tree)
+               if hasattr(x, "shape"))
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -316,7 +330,7 @@ class FusedGreedyDecoder:
     """
 
     def __init__(self, model: Captioner, variables: Dict,
-                 max_length: int = 20):
+                 max_length: int = 20, bake_params: bool = None):
         self.model = model
         self.dec: TransformerDecoder = model.decoder
         # exact type: conditioned subclasses (Event/KeywordProb) inject
@@ -336,10 +350,17 @@ class FusedGreedyDecoder:
         packed = self._packed
         model = self.model
 
-        # NOTE ``variables`` is a traced ARGUMENT of the jitted paths,
-        # not a closure: closed-over params would be baked into the HLO
-        # as constants, and a large encoder (Cnn14Rnn ~350 MB f32) then
-        # exceeds the axon remote-compile request limit (HTTP 413).
+        # ``variables`` handling is two-mode (bake_params):
+        #   * baked (default for small models): the params are a jit
+        #     CLOSURE, so XLA constant-folds them (folds BN scales /
+        #     weight layouts at compile time — measurably faster);
+        #   * traced (default above BAKE_LIMIT_BYTES): params are jit
+        #     arguments, avoiding the axon remote-compile size limit
+        #     (HTTP 413 on ~350 MB Cnn14Rnn constants).
+        if bake_params is None:
+            bake_params = _tree_bytes(variables) <= BAKE_LIMIT_BYTES
+        self.bake_params = bool(bake_params)
+
         def prepare(variables, wav, wav_len):
             dec_vars = {"params": variables["params"]["decoder"]}
             enc = model.apply(variables, wav, wav_len,
@@ -367,16 +388,19 @@ class FusedGreedyDecoder:
                 ~static["mem_kpm"], (1, 0)).astype(jnp.float32)  # [S, B]
             return tuple(memk), tuple(memv), mem_valid
 
-        self._prepare_v = jax.jit(prepare)
-        self._prepare = lambda w, l: self._prepare_v(self.variables, w, l)
-
-        @jax.jit
         def run(variables, wav, wav_len):
             memk, memv, mem_valid = prepare(variables, wav, wav_len)
             return _fused_decode_call(dec, max_length, packed,
                                       memk, memv, mem_valid)
 
-        self._run = run
+        if self.bake_params:
+            self._prepare = jax.jit(functools.partial(prepare, variables))
+            self._run = jax.jit(functools.partial(run, variables))
+        else:
+            prepare_v = jax.jit(prepare)
+            self._prepare = lambda w, l: prepare_v(self.variables, w, l)
+            run_v = jax.jit(run)
+            self._run = lambda w, l: run_v(self.variables, w, l)
         # mem K/V live fully in VMEM: cap the kernel batch (B=128 with
         # S<=32 fits the ~100MB scoped VMEM; B=256 does not)
         self.max_kernel_batch = 128
@@ -393,7 +417,6 @@ class FusedGreedyDecoder:
             # EQUALS the efficient encoder batch (128), so encoding the
             # whole batch at once is ~1 ms slower than two 128-clip
             # encoder passes (28.1 vs 27.3 ms e2e).
-            @jax.jit
             def run_chunked(variables, w, wl):
                 outs = []
                 for i in range(0, B, mb):
@@ -406,15 +429,18 @@ class FusedGreedyDecoder:
                         dec, max_length, packed, memk, memv, valid))
                 return jnp.concatenate(outs, axis=0)
 
-            return run_chunked
+            if self.bake_params:
+                return jax.jit(functools.partial(run_chunked, variables))
+            chunked_v = jax.jit(run_chunked)
+            return lambda w, wl: chunked_v(self.variables, w, wl)
 
         self._make_chunked = make_chunked
 
     def __call__(self, wav, wav_len) -> jnp.ndarray:
         B = wav.shape[0]
         if B <= self.max_kernel_batch:
-            return self._run(self.variables, wav, wav_len)
+            return self._run(wav, wav_len)
         key = (B, self.max_kernel_batch)
         if key not in self._chunked_cache:
             self._chunked_cache[key] = self._make_chunked(B)
-        return self._chunked_cache[key](self.variables, wav, wav_len)
+        return self._chunked_cache[key](wav, wav_len)

@@ -86,3 +86,21 @@ def test_fused_beam_chunked_parity(interp):
     np.testing.assert_array_equal(np.asarray(seq), np.asarray(ref["seq"]))
     np.testing.assert_allclose(np.asarray(score),
                                np.asarray(ref["score"]), atol=1e-4)
+
+
+def test_fused_beam_bake_params_modes_token_identical(interp):
+    """Baked (constant-folded params) and traced (params as jit args)
+    modes of the fused beam decoder decode identically, including the
+    chunked path."""
+    model, variables = _small_model()
+    wav = jnp.asarray(np.random.RandomState(3).randn(3, 16000),
+                      jnp.float32)
+    lens = jnp.asarray([16000, 9000, 12000])
+    fb_auto = interp.FusedBeamDecoder(model, variables, max_length=8,
+                                      beam_size=2)
+    assert fb_auto.bake_params
+    fb_traced = interp.FusedBeamDecoder(model, variables, max_length=8,
+                                        beam_size=2, bake_params=False)
+    fb_traced.max_kernel_batch = 2        # exercise the chunked path too
+    np.testing.assert_array_equal(np.asarray(fb_auto(wav, lens)),
+                                  np.asarray(fb_traced(wav, lens)))

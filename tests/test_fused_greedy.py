@@ -144,3 +144,20 @@ def test_fused_kernel_chunked_parity(interp):
     fd.max_kernel_batch = 2
     got = np.asarray(fd(wav, lens))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_bake_params_modes_token_identical(interp):
+    """bake_params=True (params closed over / constant-folded) and
+    bake_params=False (params as traced jit args, the >BAKE_LIMIT_BYTES
+    fallback for checkpoints too big for the remote-compile request)
+    must produce identical tokens; the small-model default is baked."""
+    model, variables = _small_model()
+    wav = jnp.asarray(np.random.RandomState(2).randn(3, 16000),
+                      jnp.float32)
+    lens = jnp.asarray([16000, 9000, 12000])
+    fd_auto = interp.FusedGreedyDecoder(model, variables, max_length=8)
+    assert fd_auto.bake_params            # small model -> baked default
+    fd_traced = interp.FusedGreedyDecoder(model, variables, max_length=8,
+                                          bake_params=False)
+    np.testing.assert_array_equal(np.asarray(fd_auto(wav, lens)),
+                                  np.asarray(fd_traced(wav, lens)))
