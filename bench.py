@@ -41,15 +41,23 @@ def _sync(out):
     return float(_SUM(out))
 
 
-def _bench_fn(fn, args, iters=20, warmup=2):
+def _bench_fn(fn, args, iters=10, warmup=2, trials=3):
+    """Median of ``trials`` independent timing windows (each the mean of
+    ``iters`` pipelined dispatches).  A single window on the shared axon
+    tunnel is noisy — BENCH_r03 recorded a 2.6x outlier on one config
+    from exactly that — so the record is the median with the spread
+    returned alongside.  Returns (median_s, min_s, max_s)."""
     for _ in range(warmup):
         out = fn(*args)
     _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+    samples = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        samples.append((time.perf_counter() - t0) / iters)
+    return float(np.median(samples)), min(samples), max(samples)
 
 
 def _workload_flops(model, variables, sr, seconds, max_length):
@@ -127,15 +135,28 @@ def main():
 
     best = 0.0
     best_cfg = None
+    config_stats = {}
+
+    def record(name, B, fn, args):
+        nonlocal best, best_cfg
+        med, lo, hi = _bench_fn(fn, args)
+        cps = B / med
+        config_stats[name] = {
+            "ms_median": round(med * 1e3, 2),
+            "ms_min": round(lo * 1e3, 2),
+            "ms_max": round(hi * 1e3, 2),
+            "clips_per_sec": round(cps, 1),
+        }
+        print(f"{name}: {med * 1e3:.1f} ms/batch "
+              f"[{lo * 1e3:.1f}-{hi * 1e3:.1f}], {cps:.1f} clips/s",
+              file=sys.stderr)
+        if cps > best:
+            best, best_cfg = cps, name
+        return med
+
     for B in (64, 128, 256):
         try:
-            args = make_batch(B)
-            dt = _bench_fn(beam_fn, args)
-            cps = B / dt
-            print(f"beam3 B={B}: {dt * 1e3:.1f} ms/batch, {cps:.1f} clips/s",
-                  file=sys.stderr)
-            if cps > best:
-                best, best_cfg = cps, f"beam3_b{B}"
+            record(f"beam3_b{B}", B, beam_fn, make_batch(B))
         except Exception as e:  # OOM at large batch: keep best so far
             print(f"B={B} failed: {type(e).__name__}", file=sys.stderr)
             break
@@ -145,13 +166,8 @@ def main():
         from audiocaption_tpu.decoding.fused_greedy import FusedGreedyDecoder
         fd = FusedGreedyDecoder(model, variables, max_length=20)
         for B in (128, 256, 512):
-            args = make_batch(B)
-            dt = _bench_fn(lambda w, l: fd(w, l), args)
-            cps = B / dt
-            print(f"fused-greedy B={B}: {dt * 1e3:.1f} ms/batch, "
-                  f"{cps:.1f} clips/s", file=sys.stderr)
-            if cps > best:
-                best, best_cfg = cps, f"fused_greedy_b{B}"
+            record(f"fused_greedy_b{B}", B, lambda w, l: fd(w, l),
+                   make_batch(B))
     except Exception as e:
         print(f"fused greedy failed: {type(e).__name__}: {e}",
               file=sys.stderr)
@@ -164,30 +180,22 @@ def main():
                               beam_size=3)   # bf16 model -> bf16 caches,
         # kernel batch 128 (f32 caches cap it at 64)
         for B in (64, 128, 256, 512):
-            args = make_batch(B)
-            dt = _bench_fn(lambda w, l: fb(w, l), args)
-            cps = B / dt
-            print(f"fused-beam3 B={B}: {dt * 1e3:.1f} ms/batch, "
-                  f"{cps:.1f} clips/s", file=sys.stderr)
-            if cps > best:
-                best, best_cfg = cps, f"fused_beam3_b{B}"
+            record(f"fused_beam3_b{B}", B, lambda w, l: fb(w, l),
+                   make_batch(B))
     except Exception as e:
         print(f"fused beam failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
     # diagnostics
     try:
-        args = make_batch(64)
-        dt = _bench_fn(greedy_fn, args)
-        print(f"greedy B=64: {dt * 1e3:.1f} ms/batch, {64 / dt:.1f} clips/s",
-              file=sys.stderr)
+        record("greedy_b64", 64, greedy_fn, make_batch(64))
         # single-clip latency two ways, with variance (r01->r02 the
         # mean drifted 19% with no variance data):
         #   * amortized: 16 pipelined dispatches / 16 (device time);
         #   * synced: per-call wall time incl. one host sync (what a
         #     serving caller sees through the tunnel).
         one = make_batch(1)
-        lat = _bench_fn(greedy_fn, one, iters=16)
+        lat, _, _ = _bench_fn(greedy_fn, one, iters=16)
         print(f"greedy single-clip amortized latency ~ {lat * 1e3:.2f} ms",
               file=sys.stderr)
         samples = []
@@ -233,6 +241,8 @@ def main():
                     "whole-loop kernels)",
         "config": best_cfg,
         "device": str(jax.devices()[0]),
+        "trials_per_config": 3,
+        "configs": config_stats,
         **mfu_fields,
     }))
 
