@@ -18,8 +18,12 @@ one read of the input and one write of the output.
 Alignment strategy (Mosaic): the host pads the input spatially with the
 block's TF-SAME padding AND rounds the width up so every (bb*H*W, C)
 flatten keeps the sublane dim a multiple of 8; padded columns are
-masked out of the SE mean with an iota mask.  Stride-2 blocks use the
-XLA fallback (models/effb2_fused.py) — they are 6 of 23 blocks.
+masked out of the SE mean with an iota mask.  Stride-2 blocks (6 of 23)
+are out of scope — a whole-encoder deployment would fall back to XLA
+for them.  NOTE whole-block fusion was measured 3.3x SLOWER than XLA's
+own fusion at EffB2 shapes (Mosaic relayout copies; PERF.md), so no
+production path uses this kernel — it is kept as a tested building
+block for architectures with larger channel counts.
 
 BatchNorm folding (inference) happens host-side in ``pack_mbconv``.
 """
