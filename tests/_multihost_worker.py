@@ -1,19 +1,28 @@
-"""Worker for the multi-host (multi-process) data-parallel test.
+"""Worker for the multi-host (multi-process) data-parallel tests.
 
-Run as:  python tests/_multihost_worker.py RANK NPROC PORT
+Run as:  python tests/_multihost_worker.py RANK NPROC PORT [MODE]
 
 Each process owns 4 virtual CPU devices; jax.distributed.initialize
 rendezvous via parallel.mesh.init_distributed (replaces the reference's
 SLURM env parsing + torch file:// rendezvous, run_ddp.py:33-42).  Each
-process feeds its own quarter... half of the global batch through
+process feeds its own half of the global batch through
 host_local_batch_to_global (replaces DistributedSampler sharding,
-run_ddp.py:60-76) and runs ONE jitted DP train step over the global
-mesh.  Prints "RESULT loss=... grad_norm=..." for the parent test to
+run_ddp.py:60-76).
+
+MODE "train" (default) runs ONE jitted DP train step over the global
+mesh and prints "RESULT loss=... grad_norm=..." for the parent test to
 compare against a single-process step on the same global batch.
+
+MODE "decode" runs a jitted batched beam-3 decode over the same global
+mesh with REPLICATED output sharding, so every process holds the full
+token matrix (the reference instead gathers predictions to rank 0 and
+evaluates there, run_ddp.py:201-209 — replicated output is the GSPMD
+equivalent of that gather); prints "TOKENS rank=R <flat ints>".
 """
 
 import os
 import sys
+from functools import partial
 
 
 def build_model():
@@ -91,8 +100,47 @@ def make_step_inputs(model, batch):
     return state, tx, loss_fn
 
 
+def run_decode(rank, mesh):
+    """Beam-3 decode over the global mesh, batch sharded per process,
+    output replicated so each process can print the full token matrix."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental import multihost_utils
+
+    from audiocaption_tpu.models.captioner import generate
+    from audiocaption_tpu.parallel.mesh import host_local_batch_to_global
+
+    model = build_model()
+    batch = make_global_batch()
+    variables = init_variables(model, batch)
+    spec = P()
+    variables = multihost_utils.host_local_array_to_global_array(
+        variables, mesh,
+        jax.tree_util.tree_map(lambda _: spec, variables))
+
+    B = batch["wav"].shape[0]
+    nproc = jax.process_count()
+    lo, hi = rank * B // nproc, (rank + 1) * B // nproc
+    local = {"wav": batch["wav"][lo:hi], "wav_len": batch["wav_len"][lo:hi]}
+    gbatch = host_local_batch_to_global(local, mesh)
+    assert gbatch["wav"].shape[0] == B
+
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def decode(w, l):
+        return generate(model, variables, w, l, sample_method="beam",
+                        beam_size=3, max_length=8)["seq"]
+
+    seq = np.asarray(decode(gbatch["wav"], gbatch["wav_len"]))
+    flat = " ".join(str(int(t)) for t in seq.ravel())
+    print(f"TOKENS rank={rank} shape={seq.shape[0]}x{seq.shape[1]} {flat}",
+          flush=True)
+
+
 def main():
     rank, nproc, port = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "train"
     os.environ["JAX_PLATFORMS"] = "cpu"
     import re
     flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
@@ -108,6 +156,10 @@ def main():
     init_distributed(f"localhost:{port}", nproc, rank)
     assert jax.process_count() == nproc, jax.process_count()
     assert len(jax.devices()) == 4 * nproc
+
+    if mode == "decode":
+        run_decode(rank, make_mesh())
+        return
 
     import jax.numpy as jnp
     import numpy as np

@@ -27,6 +27,59 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
+def test_two_process_beam_decode_matches_single_process():
+    """Multi-host DECODE: 2 processes shard a val batch through
+    host_local_batch_to_global and run one jitted beam-3 decode over the
+    global mesh with replicated output — both processes' token matrices
+    must be identical to each other AND to a single-process decode of
+    the full batch (the GSPMD equivalent of the reference's gather-to-
+    rank-0 eval, run_ddp.py:201-209)."""
+    import jax
+    import jax.numpy as jnp
+
+    from _multihost_worker import build_model, make_global_batch
+    import _multihost_worker as w
+    from audiocaption_tpu.models.captioner import generate
+
+    # single-process reference decode on the full batch (no mesh)
+    model = build_model()
+    batch = make_global_batch()
+    variables = w.init_variables(model, batch)
+    ref = np.asarray(jax.jit(
+        lambda wav, l: generate(model, variables, wav, l,
+                                sample_method="beam", beam_size=3,
+                                max_length=8)["seq"])(
+        jnp.asarray(batch["wav"]), jnp.asarray(batch["wav_len"])))
+
+    import os
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(TESTS.parent) + os.pathsep + env.get(
+        "PYTHONPATH", "")
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), str(rank), "2", str(port), "decode"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=str(TESTS.parent), env=env) for rank in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+
+    toks = {}
+    for out in outs:
+        m = re.search(r"TOKENS rank=(\d+) shape=(\d+)x(\d+) ([\d ]+)", out)
+        assert m, out[-3000:]
+        arr = np.asarray([int(t) for t in m.group(4).split()]).reshape(
+            int(m.group(2)), int(m.group(3)))
+        toks[int(m.group(1))] = arr
+    assert set(toks) == {0, 1}
+    np.testing.assert_array_equal(toks[0], toks[1])
+    np.testing.assert_array_equal(toks[0], ref)
+
+
+@pytest.mark.slow
 def test_two_process_dp_matches_single_process():
     import jax
     import jax.numpy as jnp
