@@ -1,0 +1,179 @@
+"""Micro-batching serve loop: amortize the per-request dispatch cost.
+
+The reference's serving surface is a 1-clip gradio demo
+(/root/reference/captioning/demo.py:27-51): every request pays a full
+encode+decode dispatch.  On a TPU behind a high-latency link that is
+RTT-bound — the device program is ~2.5 ms but a synced single-clip call
+measures ~25 ms p50 (PERF.md) — and even locally it leaves the MXU idle
+between requests.
+
+``MicroBatchServer`` closes that gap the TPU-native way:
+
+* a **collector** thread gathers submitted clips until ``max_batch``
+  requests are waiting or the oldest has waited ``max_wait_ms``, pads
+  the waveforms to one static shape (bucketed batch sizes so XLA
+  compiles a handful of programs, not one per batch), and dispatches
+  ONE batched decode;
+* dispatch is **asynchronous** (JAX returns device futures), so the
+  collector immediately goes back to gathering while the device works —
+  the link RTT and the device time are paid once per *batch*;
+* a **resolver** thread blocks on the device result and fans the token
+  rows back to per-request futures, preserving submission order within
+  the batch.
+
+Backpressure: ``submit`` blocks once ``max_queue`` clips are waiting
+(a bounded queue), so offered load beyond the device ceiling degrades
+latency visibly instead of growing memory without bound.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["MicroBatchServer"]
+
+
+def _default_buckets(max_batch: int) -> Tuple[int, ...]:
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 4
+    out.append(max_batch)
+    return tuple(out)
+
+
+class MicroBatchServer:
+    """Batch single-clip caption requests into fused-kernel decodes.
+
+    Parameters
+    ----------
+    decode_fn:
+        ``decode_fn(wav [B,T] f32, wav_len [B] i32) -> tokens`` —
+        typically ``FusedGreedyDecoder``/``FusedBeamDecoder`` or the
+        XLA engine wrapped in jit.  Must accept every bucketed batch
+        size; the result only needs to support ``np.asarray``.
+    max_batch:
+        largest dispatch batch (the fused kernels' efficient chunk,
+        128, is the natural choice).
+    max_wait_ms:
+        latency budget a lone request spends waiting for company.
+    max_samples:
+        static waveform length every clip is padded/cropped to
+        (one compiled shape per bucket).
+    batch_buckets:
+        dispatch batch sizes (each is one XLA program).  Default:
+        1, 4, 16, 64, ..., max_batch.
+    max_queue:
+        bound on clips waiting for dispatch (backpressure).
+    """
+
+    def __init__(self, decode_fn: Callable, *, max_batch: int = 128,
+                 max_wait_ms: float = 5.0, max_samples: int = 160000,
+                 batch_buckets: Optional[Sequence[int]] = None,
+                 max_queue: int = 4096):
+        self._decode = decode_fn
+        self.max_batch = int(max_batch)
+        self.max_wait = float(max_wait_ms) / 1e3
+        self.max_samples = int(max_samples)
+        self.buckets = tuple(sorted(set(
+            batch_buckets or _default_buckets(self.max_batch))))
+        assert self.buckets[-1] == self.max_batch
+        self.dispatched_batches = 0
+        self._pending: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._inflight: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._collector = threading.Thread(
+            target=self._collect_loop, name="serve-collect", daemon=True)
+        self._resolver = threading.Thread(
+            target=self._resolve_loop, name="serve-resolve", daemon=True)
+        self._collector.start()
+        self._resolver.start()
+
+    # ------------------------------------------------------------- API
+    def submit(self, wav: np.ndarray) -> Future:
+        """Enqueue one clip (1-D float waveform); returns a Future whose
+        result is the clip's token row (np.ndarray)."""
+        fut: Future = Future()
+        wav = np.asarray(wav, np.float32).ravel()
+        self._pending.put((wav, fut))
+        return fut
+
+    def stop(self, timeout: float = 30.0) -> None:
+        """Drain in-flight work and stop the threads."""
+        self._stop.set()
+        self._collector.join(timeout)
+        self._inflight.put(None)
+        self._resolver.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # ----------------------------------------------------------- loops
+    def _collect_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._pending.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch: List[Tuple[np.ndarray, Future]] = [first]
+            deadline = time.perf_counter() + self.max_wait
+            while len(batch) < self.max_batch:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._pending.get(timeout=left))
+                except queue.Empty:
+                    break
+            self._dispatch(batch)
+        # drain whatever arrived before stop()
+        leftover: List[Tuple[np.ndarray, Future]] = []
+        while True:
+            try:
+                leftover.append(self._pending.get_nowait())
+            except queue.Empty:
+                break
+        for i in range(0, len(leftover), self.max_batch):
+            self._dispatch(leftover[i:i + self.max_batch])
+
+    def _dispatch(self, batch: List[Tuple[np.ndarray, Future]]) -> None:
+        n = len(batch)
+        bucket = next(b for b in self.buckets if b >= n)
+        wav = np.zeros((bucket, self.max_samples), np.float32)
+        lens = np.ones(bucket, np.int32)  # pad rows decode ~instantly
+        for i, (w, _) in enumerate(batch):
+            w = w[:self.max_samples]
+            wav[i, :w.shape[0]] = w
+            lens[i] = max(1, w.shape[0])
+        try:
+            out = self._decode(wav, lens)   # async device dispatch
+        except Exception as e:              # resolve errors per-request
+            for _, fut in batch:
+                fut.set_exception(e)
+            return
+        self.dispatched_batches += 1
+        self._inflight.put((out, [f for _, f in batch]))
+
+    def _resolve_loop(self) -> None:
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            out, futs = item
+            try:
+                tokens = np.asarray(out)    # blocks on the device
+            except Exception as e:
+                for fut in futs:
+                    fut.set_exception(e)
+                continue
+            for i, fut in enumerate(futs):
+                fut.set_result(tokens[i])

@@ -1,0 +1,90 @@
+"""MicroBatchServer: batched results must equal per-clip decodes, and
+requests submitted together must actually share dispatches (the whole
+point vs the reference's 1-clip demo.py serving)."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiocaption_tpu.serving import MicroBatchServer
+
+
+SR = 3200  # tiny: 0.2 s clips through the small captioner
+
+
+def _decode_fn():
+    from test_captioner import make_model, init_model
+    from audiocaption_tpu.models.captioner import generate
+
+    model = make_model("transformer")
+    variables, _ = init_model(model)
+
+    @jax.jit
+    def fn(wav, wav_len):
+        return generate(model, variables, wav, wav_len,
+                        sample_method="greedy", max_length=8)["seq"]
+    return fn
+
+
+@pytest.fixture(scope="module")
+def decode_fn():
+    return _decode_fn()
+
+
+def test_results_match_direct_decode(decode_fn):
+    rng = np.random.RandomState(0)
+    clips = [rng.randn(rng.randint(SR // 2, SR + 1)).astype(np.float32)
+             for _ in range(10)]
+    with MicroBatchServer(decode_fn, max_batch=8, max_wait_ms=50.0,
+                          max_samples=SR) as srv:
+        futs = [srv.submit(c) for c in clips]
+        got = [f.result(timeout=120) for f in futs]
+        n_batches = srv.dispatched_batches
+
+    # direct per-clip reference through the same fn at the same shapes
+    for clip, row in zip(clips, got):
+        wav = np.zeros((1, SR), np.float32)
+        wav[0, :clip.shape[0]] = clip[:SR]
+        ref = np.asarray(decode_fn(jnp.asarray(wav),
+                                   jnp.asarray([clip.shape[0]], np.int32)))
+        np.testing.assert_array_equal(row, ref[0])
+
+    # 10 clips, max_batch 8 -> at most 3 dispatches if batching works
+    # (one full chunk + remainder; never 10 singleton dispatches)
+    assert n_batches <= 4, n_batches
+
+
+def test_lone_request_respects_wait_budget(decode_fn):
+    with MicroBatchServer(decode_fn, max_batch=8, max_wait_ms=30.0,
+                          max_samples=SR) as srv:
+        t0 = time.perf_counter()
+        fut = srv.submit(np.random.randn(SR).astype(np.float32))
+        row = fut.result(timeout=120)
+        dt = time.perf_counter() - t0
+    assert row.shape[0] == 8
+    # waited ~max_wait for company, then decoded alone (bucket 1);
+    # generous ceiling — CPU jit of the bucket-1 shape happens here
+    assert dt < 60.0
+
+
+def test_stop_drains_pending(decode_fn):
+    srv = MicroBatchServer(decode_fn, max_batch=4, max_wait_ms=1000.0,
+                           max_samples=SR)
+    futs = [srv.submit(np.random.randn(SR).astype(np.float32))
+            for _ in range(3)]
+    srv.stop()
+    for f in futs:
+        assert f.result(timeout=10) is not None
+
+
+def test_decode_error_propagates():
+    def boom(wav, lens):
+        raise RuntimeError("device fell over")
+    with MicroBatchServer(boom, max_batch=4, max_wait_ms=5.0,
+                          max_samples=SR) as srv:
+        fut = srv.submit(np.zeros(SR, np.float32))
+        with pytest.raises(RuntimeError, match="fell over"):
+            fut.result(timeout=30)
