@@ -33,3 +33,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# The JAX_COMPILATION_CACHE_DIR env var is NOT bound to the config on
+# this jax version — without the explicit update the cache silently
+# never engages (measured: zero cache writes over a full suite run) and
+# every run pays full cold-compile cost.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
