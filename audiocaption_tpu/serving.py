@@ -24,6 +24,23 @@ between requests.
 Backpressure: ``submit`` blocks once ``max_queue`` clips are waiting
 (a bounded queue), so offered load beyond the device ceiling degrades
 latency visibly instead of growing memory without bound.
+
+Wire formats: on a link-bound host (the axon tunnel moves ~45 MB/s of
+incompressible data regardless of dtype, measured), bytes-on-the-wire
+set the serving ceiling — an f32 128x10s batch is 82 MB ≈ 1.8 s ≈ 72
+clips/s.  ``wire=`` shrinks the waveform wire format on the submitting
+thread and the decode side dequantizes on the VPU (free next to the
+encoder's matmuls):
+
+* ``"f32"`` — 4 B/sample, lossless (default);
+* ``"f16"`` — 2 B/sample, ~1e-3 relative error: 1.9x;
+* ``"i16"`` — 2 B/sample, native WAV precision (lossless when the
+  source audio is 16-bit PCM, which the reference demo's inputs are —
+  demo.py:27-45 normalizes int16/int32): 1.9x;
+* ``"mulaw"`` — 1 B/sample G.711 µ-law companding, ~38 dB SNR: 3.7x.
+
+Pair a non-f32 wire with ``wire_decoder(decode_fn, wire)`` so the
+dequantize runs on device after the (cheap) transfer.
 """
 
 from __future__ import annotations
@@ -36,7 +53,71 @@ from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["MicroBatchServer"]
+__all__ = ["MicroBatchServer", "encode_wire", "wire_dtype", "wire_decoder"]
+
+WIRE_FORMATS = ("f32", "f16", "i16", "mulaw")
+_MU = 255.0
+
+
+def wire_dtype(wire: str) -> np.dtype:
+    """Numpy dtype a wire format travels as."""
+    return {"f32": np.dtype(np.float32), "f16": np.dtype(np.float16),
+            "i16": np.dtype(np.int16), "mulaw": np.dtype(np.uint8)}[wire]
+
+
+def encode_wire(wav: np.ndarray, wire: str) -> np.ndarray:
+    """Host-side: one float waveform (≈[-1, 1]) -> its wire format.
+
+    int16 input is passed through unscaled on the ``i16`` wire (the
+    lossless path for 16-bit PCM sources)."""
+    if wire == "f32":
+        return np.asarray(wav, np.float32)
+    if wire == "f16":
+        return np.asarray(wav, np.float16)
+    if wire == "i16":
+        if np.asarray(wav).dtype == np.int16:
+            return np.asarray(wav)
+        x = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+        return np.round(x * 32767.0).astype(np.int16)
+    if wire == "mulaw":
+        x = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+        y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
+        return np.round((y + 1.0) * 127.5).astype(np.uint8)
+    raise ValueError(f"unknown wire format {wire!r}; "
+                     f"expected one of {WIRE_FORMATS}")
+
+
+def decode_wire_device(wav, wire: str):
+    """Device-side (jnp, traceable): wire format -> float32 waveform."""
+    import jax.numpy as jnp
+    if wire == "f32":
+        return wav
+    if wire == "f16":
+        return wav.astype(jnp.float32)
+    if wire == "i16":
+        return wav.astype(jnp.float32) / 32768.0
+    if wire == "mulaw":
+        y = wav.astype(jnp.float32) / 127.5 - 1.0
+        return jnp.sign(y) * (jnp.expm1(jnp.abs(y) * jnp.log1p(_MU))
+                              / _MU)
+    raise ValueError(f"unknown wire format {wire!r}")
+
+
+def wire_decoder(decode_fn: Callable, wire: str) -> Callable:
+    """Wrap ``decode_fn(wav_f32, lens)`` to accept the wire format.
+
+    The dequantize is a separate tiny jitted program whose output stays
+    on device, so the wrapped decode costs one extra async dispatch and
+    zero extra host<->device traffic."""
+    if wire == "f32":
+        return decode_fn
+    import jax
+
+    dequant = jax.jit(lambda w: decode_wire_device(w, wire))
+
+    def wrapped(wav, lens):
+        return decode_fn(dequant(wav), lens)
+    return wrapped
 
 
 def _default_buckets(max_batch: int) -> Tuple[int, ...]:
@@ -71,16 +152,24 @@ class MicroBatchServer:
         1, 4, 16, 64, ..., max_batch.
     max_queue:
         bound on clips waiting for dispatch (backpressure).
+    wire:
+        waveform wire format (module docstring).  ``decode_fn`` must
+        accept it — wrap with :func:`wire_decoder` for non-f32 wires.
     """
 
     def __init__(self, decode_fn: Callable, *, max_batch: int = 128,
                  max_wait_ms: float = 5.0, max_samples: int = 160000,
                  batch_buckets: Optional[Sequence[int]] = None,
-                 max_queue: int = 4096):
+                 max_queue: int = 4096, wire: str = "f32"):
         self._decode = decode_fn
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1e3
         self.max_samples = int(max_samples)
+        if wire not in WIRE_FORMATS:
+            raise ValueError(f"unknown wire format {wire!r}; "
+                             f"expected one of {WIRE_FORMATS}")
+        self.wire = wire
+        self._wire_np = wire_dtype(wire)
         self.buckets = tuple(sorted(set(
             batch_buckets or _default_buckets(self.max_batch))))
         assert self.buckets[-1] == self.max_batch
@@ -97,10 +186,13 @@ class MicroBatchServer:
 
     # ------------------------------------------------------------- API
     def submit(self, wav: np.ndarray) -> Future:
-        """Enqueue one clip (1-D float waveform); returns a Future whose
-        result is the clip's token row (np.ndarray)."""
+        """Enqueue one clip (1-D float waveform, or int16 PCM on the
+        ``i16`` wire); returns a Future whose result is the clip's
+        token row (np.ndarray).  The wire encode runs here, on the
+        caller's thread, so quantization cost never serializes the
+        collector."""
         fut: Future = Future()
-        wav = np.asarray(wav, np.float32).ravel()
+        wav = encode_wire(np.asarray(wav).ravel(), self.wire)
         self._pending.put((wav, fut))
         return fut
 
@@ -148,7 +240,10 @@ class MicroBatchServer:
     def _dispatch(self, batch: List[Tuple[np.ndarray, Future]]) -> None:
         n = len(batch)
         bucket = next(b for b in self.buckets if b >= n)
-        wav = np.zeros((bucket, self.max_samples), np.float32)
+        # fill with the wire encoding of silence (mulaw's zero is not
+        # the zero byte)
+        pad = encode_wire(np.zeros(1, np.float32), self.wire)[0]
+        wav = np.full((bucket, self.max_samples), pad, self._wire_np)
         lens = np.ones(bucket, np.int32)  # pad rows decode ~instantly
         for i, (w, _) in enumerate(batch):
             w = w[:self.max_samples]

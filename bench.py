@@ -20,6 +20,7 @@ import sys
 import time
 from pathlib import Path
 
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     str(Path(__file__).resolve().parent / ".cache" / "jax"))
@@ -27,6 +28,10 @@ os.environ.setdefault(
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# the env var alone is not bound to the config on this jax version
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 _SUM = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 

@@ -29,9 +29,18 @@ import argparse
 import json
 import sys
 
+import os as _os
+_os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from pathlib import Path as _Path
+jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                    str(_Path(__file__).resolve().parent / ".cache" / "jax")))
 
 
 def _first_eos_mask(seq: np.ndarray, eos: int) -> np.ndarray:

@@ -10,9 +10,18 @@ sizes, 10 s 16 kHz clips, 20-token captions.
 import sys
 import time
 
+import os as _os
+_os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from pathlib import Path as _Path
+jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                    str(_Path(__file__).resolve().parent / ".cache" / "jax")))
 
 sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.abspath(__file__)))
 

@@ -9,7 +9,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from audiocaption_tpu.serving import MicroBatchServer
+from audiocaption_tpu.serving import (MicroBatchServer, encode_wire,
+                                      decode_wire_device, wire_decoder,
+                                      wire_dtype)
 
 
 SR = 3200  # tiny: 0.2 s clips through the small captioner
@@ -88,3 +90,59 @@ def test_decode_error_propagates():
         fut = srv.submit(np.zeros(SR, np.float32))
         with pytest.raises(RuntimeError, match="fell over"):
             fut.result(timeout=30)
+
+
+# ------------------------------------------------------------ wires
+def _snr_db(x, y):
+    err = np.mean((x - y) ** 2)
+    return 10.0 * np.log10(np.mean(x ** 2) / max(err, 1e-30))
+
+
+@pytest.mark.parametrize("wire,min_snr", [
+    ("f16", 60.0), ("i16", 80.0), ("mulaw", 30.0)])
+def test_wire_roundtrip_snr(wire, min_snr):
+    rng = np.random.RandomState(3)
+    x = np.clip(rng.randn(16000).astype(np.float32) * 0.2, -1, 1)
+    enc = encode_wire(x, wire)
+    assert enc.dtype == wire_dtype(wire)
+    dec = np.asarray(decode_wire_device(jnp.asarray(enc), wire))
+    assert _snr_db(x, dec) > min_snr
+
+
+def test_i16_pcm_passthrough_is_lossless():
+    """16-bit PCM source audio survives the i16 wire bit-exactly."""
+    rng = np.random.RandomState(4)
+    pcm = (np.clip(rng.randn(8000) * 0.2, -1, 1)
+           * 32767).astype(np.int16)
+    enc = encode_wire(pcm, "i16")
+    np.testing.assert_array_equal(enc, pcm)
+    dec = np.asarray(decode_wire_device(jnp.asarray(enc), "i16"))
+    # float encode of the SAME pcm values lands on identical floats
+    ref = pcm.astype(np.float32) / 32768.0
+    np.testing.assert_array_equal(dec, ref)
+
+
+@pytest.mark.parametrize("wire", ["i16", "mulaw"])
+def test_wire_server_matches_direct_decode(decode_fn, wire):
+    """Server on a quantized wire == direct decode of the quantized
+    waveform: the wire moves fewer bytes, not different audio."""
+    rng = np.random.RandomState(5)
+    clips = [np.clip(rng.randn(rng.randint(SR // 2, SR + 1)) * 0.2,
+                     -1, 1).astype(np.float32) for _ in range(6)]
+    wrapped = wire_decoder(decode_fn, wire)
+    with MicroBatchServer(wrapped, max_batch=8, max_wait_ms=50.0,
+                          max_samples=SR, wire=wire) as srv:
+        futs = [srv.submit(c) for c in clips]
+        got = [f.result(timeout=120) for f in futs]
+
+    pad = np.asarray(decode_wire_device(
+        jnp.asarray(encode_wire(np.zeros(1, np.float32), wire)),
+        wire))[0]
+    for clip, row in zip(clips, got):
+        q = np.asarray(decode_wire_device(
+            jnp.asarray(encode_wire(clip, wire)), wire))
+        wav = np.full((1, SR), pad, np.float32)
+        wav[0, :q.shape[0]] = q[:SR]
+        ref = np.asarray(decode_fn(jnp.asarray(wav),
+                                   jnp.asarray([clip.shape[0]], np.int32)))
+        np.testing.assert_array_equal(row, ref[0])
