@@ -19,7 +19,18 @@ between requests.
   the link RTT and the device time are paid once per *batch*;
 * a **resolver** thread blocks on the device result and fans the token
   rows back to per-request futures, preserving submission order within
-  the batch.
+  the batch;
+* at most ``max_inflight`` batches are outstanding (a semaphore the
+  resolver releases).  While every slot is busy the collector keeps
+  absorbing arrivals into the *current* batch instead of queueing
+  another dispatch, so batch size adapts to load with no tuning: at low
+  load a lone clip ships after ``max_wait_ms``; at saturation batches
+  grow toward ``max_batch`` automatically.  Without this bound, a
+  high-fixed-cost link (per-dispatch overhead ≫ per-clip cost) degrades
+  into hundreds of near-singleton dispatches whose overheads serialize
+  (measured on the axon tunnel: mean batch 1.6 at 3x the singleton
+  capacity offered).  Depth 2 still pipelines the link against the
+  device.
 
 Backpressure: ``submit`` blocks once ``max_queue`` clips are waiting
 (a bounded queue), so offered load beyond the device ceiling degrades
@@ -155,12 +166,16 @@ class MicroBatchServer:
     wire:
         waveform wire format (module docstring).  ``decode_fn`` must
         accept it — wrap with :func:`wire_decoder` for non-f32 wires.
+    max_inflight:
+        outstanding-dispatch window (module docstring).  2 pipelines
+        the link against the device; 1 serializes (debug).
     """
 
     def __init__(self, decode_fn: Callable, *, max_batch: int = 128,
                  max_wait_ms: float = 5.0, max_samples: int = 160000,
                  batch_buckets: Optional[Sequence[int]] = None,
-                 max_queue: int = 4096, wire: str = "f32"):
+                 max_queue: int = 4096, wire: str = "f32",
+                 max_inflight: int = 2):
         self._decode = decode_fn
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1e3
@@ -174,8 +189,11 @@ class MicroBatchServer:
             batch_buckets or _default_buckets(self.max_batch))))
         assert self.buckets[-1] == self.max_batch
         self.dispatched_batches = 0
+        # wire encoding of silence (mulaw's zero is not the zero byte)
+        self._pad = encode_wire(np.zeros(1, np.float32), self.wire)[0]
         self._pending: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._inflight: "queue.Queue" = queue.Queue()
+        self._slots = threading.BoundedSemaphore(int(max_inflight))
         self._stop = threading.Event()
         self._collector = threading.Thread(
             target=self._collect_loop, name="serve-collect", daemon=True)
@@ -226,6 +244,15 @@ class MicroBatchServer:
                     batch.append(self._pending.get(timeout=left))
                 except queue.Empty:
                     break
+            # adaptive batching: while every dispatch slot is busy, keep
+            # absorbing arrivals into THIS batch (up to max_batch; the
+            # rest stays queued for the next one)
+            while not self._slots.acquire(timeout=0.002):
+                while len(batch) < self.max_batch:
+                    try:
+                        batch.append(self._pending.get_nowait())
+                    except queue.Empty:
+                        break
             self._dispatch(batch)
         # drain whatever arrived before stop()
         leftover: List[Tuple[np.ndarray, Future]] = []
@@ -235,15 +262,15 @@ class MicroBatchServer:
             except queue.Empty:
                 break
         for i in range(0, len(leftover), self.max_batch):
+            self._slots.acquire()
             self._dispatch(leftover[i:i + self.max_batch])
 
     def _dispatch(self, batch: List[Tuple[np.ndarray, Future]]) -> None:
+        """Dispatch one batch.  Caller must hold a ``_slots`` permit;
+        it is released by the resolver (or here, on dispatch error)."""
         n = len(batch)
         bucket = next(b for b in self.buckets if b >= n)
-        # fill with the wire encoding of silence (mulaw's zero is not
-        # the zero byte)
-        pad = encode_wire(np.zeros(1, np.float32), self.wire)[0]
-        wav = np.full((bucket, self.max_samples), pad, self._wire_np)
+        wav = np.full((bucket, self.max_samples), self._pad, self._wire_np)
         lens = np.ones(bucket, np.int32)  # pad rows decode ~instantly
         for i, (w, _) in enumerate(batch):
             w = w[:self.max_samples]
@@ -252,6 +279,7 @@ class MicroBatchServer:
         try:
             out = self._decode(wav, lens)   # async device dispatch
         except Exception as e:              # resolve errors per-request
+            self._slots.release()
             for _, fut in batch:
                 fut.set_exception(e)
             return
@@ -267,8 +295,10 @@ class MicroBatchServer:
             try:
                 tokens = np.asarray(out)    # blocks on the device
             except Exception as e:
+                self._slots.release()
                 for fut in futs:
                     fut.set_exception(e)
                 continue
+            self._slots.release()
             for i, fut in enumerate(futs):
                 fut.set_result(tokens[i])

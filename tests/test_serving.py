@@ -87,9 +87,43 @@ def test_decode_error_propagates():
         raise RuntimeError("device fell over")
     with MicroBatchServer(boom, max_batch=4, max_wait_ms=5.0,
                           max_samples=SR) as srv:
-        fut = srv.submit(np.zeros(SR, np.float32))
-        with pytest.raises(RuntimeError, match="fell over"):
-            fut.result(timeout=30)
+        # more failures than max_inflight: a leaked dispatch permit on
+        # the error path would deadlock the later submits
+        for _ in range(5):
+            fut = srv.submit(np.zeros(SR, np.float32))
+            with pytest.raises(RuntimeError, match="fell over"):
+                fut.result(timeout=30)
+
+
+def test_batches_coalesce_under_saturation():
+    """While every dispatch slot is busy, arrivals must coalesce into
+    the next batch instead of queueing singleton dispatches (the
+    adaptive-batching contract that keeps a high-fixed-cost link from
+    serializing per-request overheads)."""
+    service = 0.03
+
+    def slow_decode(wav, lens):
+        time.sleep(service)                  # fixed per-dispatch cost
+        return np.asarray(lens)[:, None]     # row i == len of clip i
+
+    n, gap = 40, 0.002                       # 80 ms of arrivals
+    lens_sent = []
+    with MicroBatchServer(slow_decode, max_batch=64, max_wait_ms=0.5,
+                          max_samples=SR, batch_buckets=(1, 4, 16, 64),
+                          max_inflight=1) as srv:
+        futs = []
+        for i in range(n):
+            ln = SR // 2 + i
+            lens_sent.append(ln)
+            futs.append(srv.submit(np.zeros(ln, np.float32)))
+            time.sleep(gap)
+        rows = [f.result(timeout=60) for f in futs]
+    # every request answered with ITS OWN clip's row
+    assert [int(r[0]) for r in rows] == lens_sent
+    # without coalescing: ~40 dispatches x 30 ms each.  With it, each
+    # 30 ms service window's arrivals ride one batch: ~80 ms / 30 ms
+    # + stragglers.  Generous bound still fails the singleton regime.
+    assert srv.dispatched_batches <= n // 3, srv.dispatched_batches
 
 
 # ------------------------------------------------------------ wires
