@@ -13,14 +13,16 @@ max_batch 128 (the kernel chunk).  Prints one JSON line per (wire,
 load) to stdout and markdown tables to stderr (for PERF.md).
 
 Caveat recorded in the JSON: on this axon-tunnel setup the synced
-host->device link moves ~45 MB/s of incompressible data (measured via
-device-side-reduction fetch; raw ``device_put``+``block_until_ready``
-lies — it returns before the transfer lands), so serving here is
-LINK-bound, not compute-bound: an f32 128x10s batch is 82 MB ≈ 1.8 s.
-Wire formats attack exactly that — bytes are the lever, hence the
-default load grids straddle each wire's own knee.  On a local PCIe
-host the same design is compute-bound and the knee sits near the
-fused-kernel throughput instead.
+host->device link moves ~14-45 MB/s of incompressible data depending
+on the day (measured via device-side-reduction fetch; raw
+``device_put``+``block_until_ready`` lies — it returns before the
+transfer lands), so serving here is LINK-bound, not compute-bound: an
+f32 128x10s batch is 82 MB.  Wire formats attack exactly that — bytes
+are the lever, so saturated capacity scales with the byte ratio even
+as the absolute knee moves with tunnel weather; the default load grids
+straddle each wire's knee across that range.  On a local PCIe host the
+same design is compute-bound and the knee sits near the fused-kernel
+throughput instead.
 """
 
 import json
@@ -39,8 +41,8 @@ import numpy as np
 SR, SECONDS = 16000, 10
 MAX_LEN = 20
 
-# measured knees on the axon tunnel (~45 MB/s incompressible h2d):
-# f32 82 MB/batch ~72 clips/s; i16 41 MB ~135; mulaw 20.5 MB ~270
+# grids straddle each wire's knee across the tunnel's observed
+# 14-45 MB/s day-to-day range (f32 knee 22-72 clips/s, i16 2x, mulaw 4x)
 DEFAULT_LEVELS = {
     "f32": (20, 40, 60, 80, 120),
     "i16": (40, 80, 120, 160, 240),
