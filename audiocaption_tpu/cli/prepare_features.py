@@ -5,9 +5,19 @@
         --wav_csv data/x/waveform.csv --output_dir data/x/features \
         --encoder cnn14 [--checkpoint Cnn14_mAP=0.431.pth] [--batch_size 16]
 
-Writes fc.h5, attn.h5 (+ attn length csv columns) consumable by
-feature-input models (generate(..., enc_override=...) and RnnEncoder /
-AudioTransformerEncoder over precomputed features).
+or, from a trained native experiment (its Captioner encoder — the way
+the reference extracts features from its own trained models for the
+feature-input families like M2/RnnEncoder):
+
+    python -m audiocaption_tpu.cli.prepare_features \
+        --wav_csv data/x/waveform.csv --output_dir data/x/features \
+        --experiment experiments/x/cnn14rnn_trm/seed_1 [--resume swa.pth]
+
+Writes fc.h5, attn.h5, features.csv (all columns), and attn.csv
+(audio_id\thdf5_path — directly usable as a dataset ``features.wav``
+csv) consumable by feature-input models (generate(...,
+enc_override=...), RnnEncoder / AudioTransformerEncoder / the M2
+family over precomputed features).
 """
 
 from __future__ import annotations
@@ -30,19 +40,59 @@ def main(argv=None):
                         "htsat also covers CLAP-style HTS-AT audio "
                         "towers, prepare_pretrained_features/clap.py)")
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--experiment", default=None,
+                   help="trained experiment dir (config.yaml + checkpoint); "
+                        "extracts the experiment Captioner's encoder "
+                        "features instead of a named pretrained encoder")
+    p.add_argument("--resume", default="swa.pth",
+                   help="checkpoint file inside --experiment")
     args = p.parse_args(argv)
 
     import h5py
     import jax
     import jax.numpy as jnp
-    from audiocaption_tpu.data.collate import pad_sequences
-    from audiocaption_tpu.data.dataset import InferenceDataset
     from audiocaption_tpu.models.cnn14 import Cnn14Encoder, convert_cnn14
     from audiocaption_tpu.models.effb2 import EfficientNetB2, convert_effb2
     from audiocaption_tpu.models.encoders_extra import (
         Cnn6Encoder, Cnn10Encoder, convert_panns_small)
     from audiocaption_tpu.ops.frontend import (
         CNN14_MEL_32K, EFFB2_MEL_16K, LogMelFrontend)
+
+    if args.experiment:
+        from audiocaption_tpu.models.captioner import Captioner
+        from audiocaption_tpu.training.checkpoint import load_checkpoint
+        from audiocaption_tpu.utils.config import (
+            _short, build_model_from_config, load_config)
+        exp_dir = Path(args.experiment)
+        cfg = load_config(str(exp_dir / "config.yaml"))
+        ckpt = load_checkpoint(str(exp_dir / args.resume))
+        model_cfg = cfg["model"]
+        if _short(model_cfg.get("type", "")) == "ScstWrapper":
+            model_cfg = model_cfg["model"]  # passthrough at inference
+        # tokenizer state is the raw word2idx dict (DictTokenizer)
+        vocab = len(ckpt["tokenizer"]) if ckpt.get("tokenizer") else None
+        model, _ = build_model_from_config(model_cfg, vocab_size=vocab)
+        variables = {"params": ckpt["variables"]["params"],
+                     "batch_stats": ckpt["variables"].get(
+                         "batch_stats", {})}
+
+        # params as traced jit args, NOT closure constants: big
+        # checkpoints (Cnn14Rnn ~350 MB) exceed the remote-compile
+        # request cap as baked constants (HTTP 413)
+        variables = jax.device_put(variables, jax.devices()[0])
+
+        @jax.jit
+        def _encode(v, wav, wav_len):
+            return model.apply(v, wav, wav_len, train=False,
+                               method=Captioner.encode)
+
+        def encode(wav, wav_len):
+            return _encode(variables, wav, wav_len)
+
+        bucket_sr = (model.mel.sample_rate
+                     if model.input_mode == "mel" else 16000)
+        _write_features(args, encode, bucket_sr, h5py, jnp)
+        return
 
     if args.encoder == "effb2":
         enc_def, mel = EfficientNetB2(), EFFB2_MEL_16K
@@ -79,10 +129,22 @@ def main(argv=None):
             params, stats = convert_panns_small(sd)
         variables = {"params": params, "batch_stats": stats}
 
+    variables = jax.device_put(variables, jax.devices()[0])
+
     @jax.jit
-    def encode(wav, wav_len):
+    def _encode(v, wav, wav_len):
         lms = frontend(wav)
-        return enc_def.apply(variables, lms, mel.feat_len(wav_len))
+        return enc_def.apply(v, lms, mel.feat_len(wav_len))
+
+    def encode(wav, wav_len):
+        return _encode(variables, wav, wav_len)
+
+    _write_features(args, encode, mel.sample_rate, h5py, jnp)
+
+
+def _write_features(args, encode, bucket_sr, h5py, jnp):
+    from audiocaption_tpu.data.collate import pad_sequences
+    from audiocaption_tpu.data.dataset import InferenceDataset
 
     ds = InferenceDataset({"wav": args.wav_csv})
     out_dir = Path(args.output_dir)
@@ -94,7 +156,7 @@ def main(argv=None):
             items = [ds[j] for j in range(i, min(i + args.batch_size,
                                                  len(ds)))]
             wav, lens = pad_sequences([it["wav"] for it in items],
-                                      bucket=mel.sample_rate)
+                                      bucket=bucket_sr)
             out = encode(jnp.asarray(wav), jnp.asarray(lens))
             fc = np.asarray(out["fc_emb"])
             attn = np.asarray(out["attn_emb"])
@@ -109,6 +171,12 @@ def main(argv=None):
         w = csv.writer(f, delimiter="\t")
         w.writerow(["audio_id", "fc_hdf5", "attn_hdf5"])
         w.writerows(rows)
+    # attn.csv is a ready-made dataset csv (audio_id -> attn.h5): point
+    # a feature-input model's ``features.wav`` at it directly
+    with open(out_dir / "attn.csv", "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        w.writerow(["audio_id", "hdf5_path"])
+        w.writerows((aid, attn_path) for aid, _, attn_path in rows)
     print(f"wrote features for {len(rows)} clips to {out_dir}")
 
 

@@ -41,7 +41,9 @@ def build_wav_bank(dataset) -> Tuple[jax.Array, np.ndarray]:
         wavs.append(w)
         max_len = max(max_len, w.shape[0])
     lens = np.asarray([w.shape[0] for w in wavs], np.int32)
-    bank = np.zeros((n, max_len), np.float16)
+    # rows may be [T] waveforms or [T, D] precomputed features (the
+    # feature-input families, e.g. M2) — pad along axis 0 either way
+    bank = np.zeros((n, max_len) + wavs[0].shape[1:], np.float16)
     for i, w in enumerate(wavs):
         bank[i, : w.shape[0]] = w
     return jax.device_put(jnp.asarray(bank)), lens

@@ -85,3 +85,65 @@ def test_prepare_features_cli(ws):
     with h5py.File(out_dir / "attn.h5") as f:
         assert f["aud1"].shape[1] == 512
     assert (out_dir / "features.csv").exists()
+    assert (out_dir / "attn.csv").exists()
+
+
+@pytest.mark.slow
+def test_prepare_features_from_experiment(ws):
+    """--experiment extracts the trained Captioner's encoder features
+    and the emitted attn.csv round-trips as a feature-dataset csv (the
+    M2-family input pipeline)."""
+    import yaml
+    from audiocaption_tpu.cli.prepare_features import main
+    from audiocaption_tpu.data.dataset import InferenceDataset
+    from audiocaption_tpu.training.checkpoint import save_checkpoint
+    from audiocaption_tpu.utils.config import build_model_from_config
+
+    model_cfg = {
+        "type": "captioning.models.transformer_model.TransformerModel",
+        "args": {},
+        "encoder": {
+            "type": "captioning.models.crnn_trm_encoder.Cdur5Encoder",
+            "args": {"sample_rate": 32000},
+        },
+        "decoder": {
+            "type": "captioning.models.transformer_decoder."
+                    "TransformerDecoder",
+            "args": {"emb_dim": 32, "nlayers": 1, "nhead": 2},
+        },
+    }
+    word2idx = {"<pad>": 0, "<start>": 1, "<end>": 2, "<unk>": 3,
+                "a": 4, "b": 5}
+    import jax
+    import jax.numpy as jnp
+    model, _ = build_model_from_config(model_cfg,
+                                       vocab_size=len(word2idx))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32000)), jnp.asarray([32000]),
+        jnp.ones((1, 4), jnp.int32), jnp.asarray([4]), train=False)
+
+    exp_dir = ws / "exp"
+    exp_dir.mkdir()
+    (exp_dir / "config.yaml").write_text(
+        yaml.safe_dump({"model": model_cfg}))
+    save_checkpoint(str(exp_dir / "swa.pth"),
+                    {"params": variables["params"],
+                     "batch_stats": variables.get("batch_stats", {})},
+                    tokenizer_state=word2idx)
+
+    out_dir = ws / "exp_features"
+    main(["--wav_csv", str(ws / "wav.csv"), "--output_dir", str(out_dir),
+          "--experiment", str(exp_dir), "--resume", "swa.pth",
+          "--batch_size", "2"])
+
+    import h5py
+    enc_dim = None
+    with h5py.File(out_dir / "attn.h5") as f:
+        assert f["aud1"].ndim == 2
+        enc_dim = f["aud1"].shape[1]
+    # attn.csv is directly consumable as a feature dataset
+    ds = InferenceDataset({"wav": str(out_dir / "attn.csv")})
+    item = ds[0]
+    assert item["wav"].ndim == 2 and item["wav"].shape[1] == enc_dim

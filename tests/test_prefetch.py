@@ -102,6 +102,32 @@ def test_device_wav_bank(tmp_path):
     assert "wav" not in item
 
 
+def test_device_bank_2d_features(tmp_path):
+    """The bank also holds [T, D] precomputed-feature corpora (the
+    feature-input families, e.g. M2 over extracted attn features)."""
+    import h5py
+    from audiocaption_tpu.data.dataset import InferenceDataset
+    from audiocaption_tpu.data.device_bank import build_wav_bank
+    rng = np.random.RandomState(4)
+    h5p = tmp_path / "feat.h5"
+    lens = [7, 5]
+    with h5py.File(h5p, "w") as f:
+        for i, n in enumerate(lens):
+            f[f"a{i}"] = rng.randn(n, 12).astype(np.float16)
+    with open(tmp_path / "feat.csv", "w") as f:
+        f.write("audio_id\thdf5_path\n")
+        for i in range(2):
+            f.write(f"a{i}\t{h5p}\n")
+    ds = InferenceDataset({"wav": str(tmp_path / "feat.csv")})
+    bank, blens = build_wav_bank(ds)
+    assert bank.shape == (2, 7, 12) and bank.dtype == jnp.float16
+    np.testing.assert_array_equal(blens, lens)
+    np.testing.assert_allclose(
+        np.asarray(bank)[1, :5].astype(np.float32),
+        ds.get_audio("a1"), rtol=1e-3)
+    assert float(jnp.abs(bank[1, 5:]).max()) == 0.0
+
+
 def test_train_step_bank_gather_matches_direct():
     """A step fed (wav_bank, wav_idx) produces the same loss as one fed
     the gathered rows directly."""
