@@ -100,16 +100,19 @@ def build_collate(cfg: Dict, tokenizer=None, wav_bucket: int = 16000):
     t = _short(cfg["type"])
     args = dict(cfg.get("args", {}) or {})
     buckets = {"wav": wav_bucket}
+    feature_bucket = args.get("feature_bucket", 16)
     if t == "TextCollate":
         return TextCollate(tokenizer, text_key=args.get("text_key", "cap"),
                            pad_keys=args.get("pad_keys", []),
                            sort_key=args.get("sort_key"), buckets=buckets,
-                           wire_dtype=args.get("wire_dtype"))
+                           wire_dtype=args.get("wire_dtype"),
+                           feature_bucket=feature_bucket)
     if t == "VarLenPadCollate":
         return VarLenPadCollate(pad_keys=args.get("pad_keys", []),
                                 sort_key=args.get("sort_key"),
                                 buckets=buckets,
-                                wire_dtype=args.get("wire_dtype"))
+                                wire_dtype=args.get("wire_dtype"),
+                                feature_bucket=feature_bucket)
     raise ValueError(t)
 
 

@@ -39,10 +39,18 @@ class VarLenPadCollate:
     def __init__(self, pad_keys: Sequence[str] = (),
                  sort_key: Optional[str] = None,
                  buckets: Optional[Dict[str, int]] = None,
-                 wire_dtype: Optional[Dict[str, str]] = None):
+                 wire_dtype: Optional[Dict[str, str]] = None,
+                 feature_bucket: int = 16):
         self.pad_keys = list(pad_keys)
         self.sort_key = sort_key
         self.buckets = buckets or {}
+        # ``buckets`` values are denominated in SAMPLES (the default wav
+        # bucket is 16000 = 1 s @ 16 kHz).  Precomputed-feature rows
+        # [T, D] are ~2 orders of magnitude shorter per second, so a
+        # sample bucket would pad every feature batch to 16000 frames
+        # (and an attention model to a 16000x16000 matrix).  Multi-dim
+        # sequences therefore bucket by ``feature_bucket`` frames.
+        self.feature_bucket = feature_bucket
         # per-key compact wire dtype (e.g. {"wav": "float16"}): the
         # padded batch is emitted in this dtype to halve host->device
         # transfer bytes; the train step re-expands on device
@@ -61,11 +69,12 @@ class VarLenPadCollate:
         for k, vals in batch.items():
             if k in self.pad_keys:
                 wire = self.wire_dtype.get(k)
-                padded, lens = pad_sequences(
-                    [np.asarray(v) if wire is None
-                     else np.asarray(v).astype(wire, copy=False)
-                     for v in vals],
-                    bucket=self.buckets.get(k))
+                arrs = [np.asarray(v) if wire is None
+                        else np.asarray(v).astype(wire, copy=False)
+                        for v in vals]
+                bucket = (self.feature_bucket if arrs[0].ndim >= 2
+                          else self.buckets.get(k))
+                padded, lens = pad_sequences(arrs, bucket=bucket)
                 out[k] = padded
                 out[f"{k}_len"] = lens
             else:
@@ -84,9 +93,11 @@ class TextCollate(VarLenPadCollate):
                  pad_keys: Sequence[str] = (),
                  sort_key: Optional[str] = None,
                  buckets: Optional[Dict[str, int]] = None,
-                 wire_dtype: Optional[Dict[str, str]] = None):
+                 wire_dtype: Optional[Dict[str, str]] = None,
+                 feature_bucket: int = 16):
         pad_keys = [k for k in pad_keys if k != text_key]
-        super().__init__(pad_keys, sort_key, buckets, wire_dtype)
+        super().__init__(pad_keys, sort_key, buckets, wire_dtype,
+                         feature_bucket)
         self.tokenizer = tokenizer
         self.text_key = text_key
 

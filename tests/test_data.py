@@ -79,6 +79,25 @@ def test_pad_sequences_and_bucket():
     assert bucket_length(9, 8) == 16
 
 
+def test_varlen_collate_feature_rows_ignore_sample_bucket():
+    # Precomputed-feature items are [T, D]; the sample-denominated wav
+    # bucket (16000 = 1 s) must NOT apply to them or every feature
+    # batch pads to 16000 frames (regression: M2 eval built a
+    # 16000x16000 attention and OOM'd HBM).  Multi-dim rows bucket by
+    # feature_bucket frames instead.
+    items = [{"wav": np.ones((31, 8), np.float32), "audio_id": "x"},
+             {"wav": np.ones((25, 8), np.float32), "audio_id": "y"}]
+    c = VarLenPadCollate(pad_keys=["wav"], buckets={"wav": 16000},
+                         feature_bucket=16)
+    out = c(items)
+    assert out["wav"].shape == (2, 32, 8)
+    np.testing.assert_array_equal(out["wav_len"], [31, 25])
+    # 1-D waveforms still honour the sample bucket
+    items1d = [{"wav": np.ones(5, np.float32), "audio_id": "x"}]
+    out1d = VarLenPadCollate(pad_keys=["wav"], buckets={"wav": 8})(items1d)
+    assert out1d["wav"].shape == (1, 8)
+
+
 def test_varlen_collate():
     items = [{"wav": np.ones(5, np.float32), "audio_id": "x"},
              {"wav": np.ones(9, np.float32), "audio_id": "y"}]
