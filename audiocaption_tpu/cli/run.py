@@ -533,20 +533,36 @@ class Runner:
                 kd_cfg["teacher"]["experiment_path"],
                 kd_cfg["teacher"].get("resume", "swa.pth"))
 
+            # teacher params travel as TRACED jit arguments, not baked
+            # constants: big teachers (cnn14rnn ~350 MB) exceed the
+            # axon remote-compile request cap (HTTP 413) when folded
+            # into the program.  device_put once so the slow h2d link
+            # pays the transfer once, not per batch.
+            t_vars_dev = jax.device_put(t_vars)
+
             if kd_type == "token":
                 @jax.jit
-                def teacher_fwd(wav, wav_len, cap, cap_len):
+                def _teacher_fwd(tv, wav, wav_len, cap, cap_len):
                     out = t_model.apply(
-                        t_vars, wav, wav_len, cap, cap_len,
+                        tv, wav, wav_len, cap, cap_len,
                         ss_ratio=1.0, train=False,
                         rngs={"sample": jax.random.PRNGKey(0)})
                     return out["logit"]
+
+                def teacher_fwd(wav, wav_len, cap, cap_len):
+                    return _teacher_fwd(t_vars_dev, wav, wav_len,
+                                        cap, cap_len)
             elif kd_type == "seq":
-                def teacher_generate(wav, wav_len):
-                    seq = jax.jit(
-                        lambda w, wl: generate(t_model, t_vars, w, wl,
+                # hoisted jit: a fresh wrapper per call would recompile
+                # every batch on the tunnel
+                _teacher_gen = jax.jit(
+                    lambda tv, w, wl: generate(t_model, tv, w, wl,
                                                sample_method="greedy")
-                        ["seq"])(jnp.asarray(wav), jnp.asarray(wav_len))
+                    ["seq"])
+
+                def teacher_generate(wav, wav_len):
+                    seq = _teacher_gen(t_vars_dev, jnp.asarray(wav),
+                                       jnp.asarray(wav_len))
                     return t_tok.decode(np.asarray(seq))
             elif kd_type == "enc":
                 # on-the-fly teacher embeddings from a frozen JAX
@@ -556,11 +572,14 @@ class Runner:
                 from audiocaption_tpu.models.captioner import Captioner
 
                 @jax.jit
-                def teacher_emb_fwd(wav, wav_len):
-                    enc = t_model.apply(t_vars, wav, wav_len,
+                def _teacher_emb_fwd(tv, wav, wav_len):
+                    enc = t_model.apply(tv, wav, wav_len,
                                         train=False,
                                         method=Captioner.encode)
                     return enc["fc_emb"]
+
+                def teacher_emb_fwd(wav, wav_len):
+                    return _teacher_emb_fwd(t_vars_dev, wav, wav_len)
 
         from audiocaption_tpu.training import create_train_state
         state = create_train_state(variables, tx, jax.random.PRNGKey(seed))
