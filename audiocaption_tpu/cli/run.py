@@ -584,6 +584,28 @@ class Runner:
         from audiocaption_tpu.training import create_train_state
         state = create_train_state(variables, tx, jax.random.PRNGKey(seed))
 
+        # device-resident corpus (data/device_bank.py), same lever as
+        # the XE trainer: ship all train wavs to HBM once; epochs then
+        # move only row indices.  The bank is built AFTER the seq-KD
+        # pseudo-caption pass below (which needs raw wavs from the
+        # loader), so run_steps resolve wav lazily through _wav_of.
+        train_bank = None
+
+        @jax.jit
+        def _bank_rows(bank, idx):
+            wav = jnp.take(bank, idx, axis=0)
+            if wav.dtype in (jnp.float16, jnp.bfloat16):
+                wav = wav.astype(jnp.float32)
+            elif wav.dtype == jnp.int16:
+                wav = wav.astype(jnp.float32) / 32768.0
+            return wav
+
+        def _wav_of(batch):
+            if train_bank is not None:
+                return _bank_rows(train_bank,
+                                  jnp.asarray(batch["wav_idx"]))
+            return jnp.asarray(batch["wav"])
+
         if kd_type == "seq":
             # teacher-generated pseudo captions, cached per audio id
             # (run_wavcaps_kd.py:50-70); student then trains on them
@@ -600,7 +622,7 @@ class Runner:
 
             def run_step(state, batch):
                 enc = tokenizer([cache[a] for a in batch["audio_id"]])
-                b = {"wav": batch["wav"], "wav_len": batch["wav_len"],
+                b = {"wav": _wav_of(batch), "wav_len": batch["wav_len"],
                      "cap": np.asarray(enc["cap"], np.int32),
                      "cap_len": np.asarray(enc["cap_len"])}
                 return step(state, b, jnp.float32(1.0))
@@ -641,7 +663,7 @@ class Runner:
                 unsup=kd_cfg.get("unsup", False))
 
             def run_step(state, batch):
-                wav = jnp.asarray(batch["wav"])
+                wav = _wav_of(batch)
                 wav_len = jnp.asarray(batch["wav_len"])
                 if embs is not None:
                     tchr = jnp.asarray(np.stack(
@@ -663,7 +685,7 @@ class Runner:
                     "args", {}).get("smoothing", 0.1))
 
             def run_step(state, batch):
-                wav = jnp.asarray(batch["wav"])
+                wav = _wav_of(batch)
                 wav_len = jnp.asarray(batch["wav_len"])
                 cap = jnp.asarray(batch["cap"], jnp.int32)
                 cap_len = jnp.asarray(batch["cap_len"])
@@ -672,10 +694,23 @@ class Runner:
                      "cap_len": cap_len, "teacher_logit": t_logit}
                 return kd_step(state, b, jnp.float32(1.0))
 
+        if cfg["data"]["train"].get("device_resident"):
+            from audiocaption_tpu.data.device_bank import build_wav_bank
+            t_bank = time.time()
+            train_bank, bank_lens = build_wav_bank(train_loader.dataset)
+            train_loader.dataset.enable_wav_index(bank_lens)
+            log(f"train wav bank on device: {train_bank.shape} "
+                f"{train_bank.dtype} ({time.time() - t_bank:.0f}s)")
+        val_bank = None
+        if val_cfg.get("device_resident"):
+            from audiocaption_tpu.data.device_bank import build_wav_bank
+            val_bank, vlens = build_wav_bank(val_loader.dataset)
+            val_loader.dataset.enable_wav_index(vlens)
+
         monitor = MetricImprover("max")
         ckpt_writer = AsyncCheckpointer()
         val_score = self._make_val_scorer(model, tokenizer, val_loader,
-                                          val_key2refs)
+                                          val_key2refs, wav_bank=val_bank)
         for epoch in range(1, epochs + 1):
             t0 = time.time()
             losses = []

@@ -170,6 +170,12 @@ def test_token_kd_training(workspace, base_exp):
                  "temperature": 2.0,
                  "teacher": {"experiment_path": str(base_exp),
                              "resume": "best.pth"}}
+    # exercise the device-resident corpus path for KD (wav rows
+    # gathered on device from the bank; val decodes from its own bank)
+    import copy
+    cfg["data"] = copy.deepcopy(cfg["data"])
+    cfg["data"]["train"]["device_resident"] = True
+    cfg["data"]["val"]["device_resident"] = True
     p = root / "kd_tok.yaml"
     with open(p, "w") as f:
         yaml.safe_dump(cfg, f)
@@ -185,6 +191,11 @@ def test_seq_kd_training(workspace, base_exp):
     cfg["kd"] = {"type": "seq",
                  "teacher": {"experiment_path": str(base_exp),
                              "resume": "best.pth"}}
+    # device-resident + seq KD: the pseudo-caption pass must run on raw
+    # wavs BEFORE the dataset switches to bank-index mode
+    import copy
+    cfg["data"] = copy.deepcopy(cfg["data"])
+    cfg["data"]["train"]["device_resident"] = True
     p = root / "kd_seq.yaml"
     with open(p, "w") as f:
         yaml.safe_dump(cfg, f)
