@@ -54,6 +54,7 @@ from audiocaption_tpu.training.trainer import make_optimizer
 from audiocaption_tpu.utils.config import (
     build_model_from_config, load_config, load_pretrained_into,
     parse_overrides)
+from audiocaption_tpu.utils.profiling import host_rss_gb
 
 
 def _short(type_name: str) -> str:
@@ -444,7 +445,7 @@ class Runner:
                 f"val_cider {score:.4f} ss {ss_ratio:.3f} "
                 f"({time.time() - t0:.0f}s: steps {t_steps:.0f} "
                 f"val {t_val:.0f} ckpt {t_ckpt:.0f} "
-                f"ckpt_wait {t_blocked:.0f})")
+                f"ckpt_wait {t_blocked:.0f}) rss {host_rss_gb():.1f}G")
 
             if not_improve >= early_stop:
                 log(f"early stop at epoch {epoch}")
@@ -591,19 +592,11 @@ class Runner:
         # loader), so run_steps resolve wav lazily through _wav_of.
         train_bank = None
 
-        @jax.jit
-        def _bank_rows(bank, idx):
-            wav = jnp.take(bank, idx, axis=0)
-            if wav.dtype in (jnp.float16, jnp.bfloat16):
-                wav = wav.astype(jnp.float32)
-            elif wav.dtype == jnp.int16:
-                wav = wav.astype(jnp.float32) / 32768.0
-            return wav
-
         def _wav_of(batch):
             if train_bank is not None:
-                return _bank_rows(train_bank,
-                                  jnp.asarray(batch["wav_idx"]))
+                from audiocaption_tpu.data.device_bank import bank_rows
+                return bank_rows(train_bank,
+                                 jnp.asarray(batch["wav_idx"]))
             return jnp.asarray(batch["wav"])
 
         if kd_type == "seq":
@@ -723,7 +716,8 @@ class Runner:
             improved = monitor(score)
             log(f"kd[{kd_type}] epoch {epoch}: "
                 f"loss {float(np.mean(jax.device_get(losses))):.4f} "
-                f"val_cider {score:.4f} ({time.time() - t0:.0f}s)")
+                f"val_cider {score:.4f} ({time.time() - t0:.0f}s) "
+                f"rss {host_rss_gb():.1f}G")
 
             def _ckpt_job(params=params, state=state, epoch=epoch,
                           improved=improved):
@@ -799,22 +793,45 @@ class Runner:
         step = make_aug_train_step(model, build_loss(cfg.get("loss", {})),
                                    tx)
         log = _make_logger(exp_dir / "train.log")
+
+        # device-resident corpora: one bank per loader (the real and
+        # augmented splits are distinct corpora); batches then carry
+        # only row indices, gathered on device in prep()
+        from audiocaption_tpu.data.device_bank import (bank_rows,
+                                                       build_wav_bank)
+        banks = {}
+        for name, loader in (("train", train_loader),
+                             ("train_aug", aug_loader),
+                             ("val", val_loader)):
+            if cfg["data"][name].get("device_resident"):
+                t_bank = time.time()
+                bank, lens = build_wav_bank(loader.dataset)
+                loader.dataset.enable_wav_index(lens)
+                banks[name] = bank
+                log(f"{name} wav bank on device: {bank.shape} "
+                    f"{bank.dtype} ({time.time() - t_bank:.0f}s)")
+
         monitor = MetricImprover("max")
         ckpt_writer = AsyncCheckpointer()
         val_score = self._make_val_scorer(model, tokenizer, val_loader,
-                                          val_key2refs)
+                                          val_key2refs,
+                                          wav_bank=banks.get("val"))
         it = 0
         for epoch in range(1, epochs + 1):
             t0 = time.time()
             losses = []
             for real, aug in prefetch_to_device(
                     interleave_loaders(train_loader, aug_loader)):
-                def prep(b):
-                    return {"wav": jnp.asarray(b["wav"]),
+                def prep(b, bank):
+                    wav = (bank_rows(bank, jnp.asarray(b["wav_idx"]))
+                           if bank is not None else jnp.asarray(b["wav"]))
+                    return {"wav": wav,
                             "wav_len": jnp.asarray(b["wav_len"]),
                             "cap": jnp.asarray(b["cap"], jnp.int32),
                             "cap_len": jnp.asarray(b["cap_len"])}
-                state, metrics = step(state, prep(real), prep(aug),
+                state, metrics = step(state,
+                                      prep(real, banks.get("train")),
+                                      prep(aug, banks.get("train_aug")),
                                       jnp.float32(disc_fn(it)),
                                       jnp.float32(1.0))
                 losses.append(metrics["loss"])  # device scalar, no sync
@@ -824,7 +841,7 @@ class Runner:
             log(f"aug epoch {epoch}: "
                 f"loss {float(np.mean(jax.device_get(losses))):.4f} "
                 f"val_cider {score:.4f} discount {disc_fn(it):.3f} "
-                f"({time.time() - t0:.0f}s)")
+                f"({time.time() - t0:.0f}s) rss {host_rss_gb():.1f}G")
 
             def _ckpt_job(state=state, epoch=epoch, improved=improved):
                 nonlocal variables

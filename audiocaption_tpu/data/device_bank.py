@@ -24,6 +24,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.jit
+def bank_rows(bank: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather wav rows ``idx`` from a device bank and re-expand the
+    compact storage dtype to f32 (f16 banks are lossless for corpora
+    packed as int16/f16 waveforms)."""
+    wav = jnp.take(bank, idx, axis=0)
+    if wav.dtype in (jnp.float16, jnp.bfloat16):
+        wav = wav.astype(jnp.float32)
+    elif wav.dtype == jnp.int16:
+        wav = wav.astype(jnp.float32) / 32768.0
+    return wav
+
+
 def build_wav_bank(dataset) -> Tuple[jax.Array, np.ndarray]:
     """Build a ``[N, max_len]`` float16 device bank over
     ``dataset.audio_ids`` (InferenceDataset / CaptionDataset).

@@ -18,6 +18,22 @@ from typing import Callable, Dict, Optional
 import jax
 
 
+def host_rss_gb() -> float:
+    """Current host resident-set size in GB (0.0 where /proc is
+    unavailable).  Surfaced in epoch logs so a leaking input pipeline
+    (e.g. the remote-TPU tunnel client retaining every host->device
+    transfer — see MIGRATION.md "Known environment limits") is visible
+    long before the OOM killer fires."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """jax.profiler trace scope: view with TensorBoard's profile plugin."""

@@ -248,8 +248,14 @@ def test_aug_training(workspace):
     root, base_cfg = workspace
     cfg = dict(base_cfg)
     cfg["experiment_path"] = str(root / "aug_exp")
-    cfg["data"] = dict(cfg["data"])
-    cfg["data"]["train_aug"] = cfg["data"]["train"]
+    import copy
+    cfg["data"] = copy.deepcopy(cfg["data"])
+    cfg["data"]["train_aug"] = copy.deepcopy(cfg["data"]["train"])
+    # device-resident on all three loaders: real and aug corpora get
+    # separate banks; val decodes from its own
+    cfg["data"]["train"]["device_resident"] = True
+    cfg["data"]["train_aug"]["device_resident"] = True
+    cfg["data"]["val"]["device_resident"] = True
     cfg["aug"] = {"discount": 0.5, "mode": "linear"}
     p = root / "aug.yaml"
     with open(p, "w") as f:
