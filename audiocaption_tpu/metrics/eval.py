@@ -86,7 +86,12 @@ def evaluate_captions(key2pred: Dict[str, List[str]],
         except Exception as e:
             skipped.append(f"meteor/spice/spider ({type(e).__name__})")
     else:
-        skipped.append("meteor/spice/spider (no java/pycocoevalcap)")
+        # No JVM: report the pure-Python exact+stem METEOR approximation
+        # under its own key so it can never be mistaken for jar METEOR.
+        from audiocaption_tpu.metrics.meteor import meteor_py
+        result["meteor_py"], meteor_per_key = meteor_py(key2pred, key2refs)
+        skipped.append("meteor/spice/spider (no java/pycocoevalcap; "
+                       "meteor_py is the exact+stem approximation)")
 
     try:
         from fense.evaluator import Evaluator
@@ -116,4 +121,7 @@ def evaluate_captions(key2pred: Dict[str, List[str]],
                 "rouge_l": rouge_per_key[k]}
             for i, k in enumerate(key2pred.keys())
         }
+        if "meteor_py" in result:
+            for k in result["per_audio"]:
+                result["per_audio"][k]["meteor_py"] = meteor_per_key[k]
     return result

@@ -143,3 +143,72 @@ def test_zh_caption_eval_path(tmp_path):
                                refs, zh=True, use_java=False)
     assert result["cider"] > 0.5
     assert result["bleu_1"] == pytest.approx(1.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------
+# Pure-Python METEOR approximation (metrics/meteor.py) — hand-derived
+# goldens with the classic parameters alpha=0.9, beta=3, gamma=0.5.
+# ---------------------------------------------------------------------
+
+def test_meteor_identical_sentence():
+    from audiocaption_tpu.metrics.meteor import meteor_pair
+    # m=3 exact, P=R=1, Fmean=1, 1 chunk -> penalty 0.5*(1/3)^3
+    expected = 1.0 * (1 - 0.5 * (1 / 3) ** 3)
+    got = meteor_pair("a dog barks".split(), "a dog barks".split())
+    assert got == pytest.approx(expected)
+
+
+def test_meteor_stem_stage_matches():
+    from audiocaption_tpu.metrics.meteor import meteor_pair, _stem
+    # guard the stemming assumptions this golden relies on
+    assert _stem("cats") == _stem("cat")
+    assert _stem("sat") != _stem("sits")
+    # hyp "the cats sat" vs ref "the cat sits": exact {the}, stem
+    # {cats~cat}; m=2 of 3/3 -> P=R=2/3, Fmean=2/3; matches (0,0),(1,1)
+    # are contiguous in both -> 1 chunk, penalty 0.5*(1/2)^3 = 0.0625
+    got = meteor_pair("the cats sat".split(), "the cat sits".split())
+    assert got == pytest.approx((2 / 3) * (1 - 0.0625))
+
+
+def test_meteor_fragmentation_penalty():
+    from audiocaption_tpu.metrics.meteor import meteor_pair
+    # swapped order: m=2, P=R=1, Fmean=1, but 2 chunks -> penalty
+    # 0.5*(2/2)^3 = 0.5
+    assert meteor_pair(["b", "a"], ["a", "b"]) == pytest.approx(0.5)
+
+
+def test_meteor_one_to_one_matching():
+    from audiocaption_tpu.metrics.meteor import meteor_pair
+    # repeated hyp word can only consume the single ref token once:
+    # m=1, P=1/2, R=1, Fmean=0.5/(0.9*0.5+0.1)=10/11, penalty 0.5
+    assert meteor_pair(["the", "the"], ["the"]) == pytest.approx(
+        (10 / 11) * 0.5)
+
+
+def test_meteor_no_match_and_empty():
+    from audiocaption_tpu.metrics.meteor import meteor_pair
+    assert meteor_pair(["x"], ["y"]) == 0.0
+    assert meteor_pair([], ["y"]) == 0.0
+    assert meteor_pair(["x"], []) == 0.0
+
+
+def test_meteor_best_of_refs_and_corpus_mean():
+    from audiocaption_tpu.metrics.meteor import meteor_py, meteor_pair
+    k2p = {"a": ["a dog barks"], "b": ["b a"]}
+    k2r = {"a": ["water flows", "a dog barks"], "b": ["a b"]}
+    avg, per_key = meteor_py(k2p, k2r)
+    exp_a = meteor_pair("a dog barks".split(), "a dog barks".split())
+    assert per_key["a"] == pytest.approx(exp_a)  # best ref wins
+    assert per_key["b"] == pytest.approx(0.5)
+    assert avg == pytest.approx((exp_a + 0.5) / 2)
+
+
+def test_evaluate_captions_reports_meteor_py_without_java():
+    result = evaluate_captions(
+        {k: [v[0]] for k, v in PREDS.items()}, REFS, use_java=False,
+        per_audio=True)
+    assert "meteor_py" in result
+    assert 0.0 <= result["meteor_py"] <= 1.0
+    assert "meteor" not in result  # never impersonates jar METEOR
+    assert any("meteor_py" in s for s in result["skipped_scorers"])
+    assert all("meteor_py" in v for v in result["per_audio"].values())
