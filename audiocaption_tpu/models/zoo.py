@@ -95,3 +95,27 @@ def cnn14rnn_tempgru(vocab_size: int = 4981,
     mel = CNN14_MEL_32K if sample_rate == 32000 else CNN14_MEL_16K
     return Captioner(encoder=encoder, decoder=decoder, mel=mel,
                      special=SpecialTokens(max_length=max_length))
+
+
+def kd_student_cdur5(vocab_size: int = 4981,
+                     sample_rate: int = 32000,
+                     decoder_emb_dim: int = 128,
+                     decoder_n_layers: int = 1,
+                     decoder_dropout: float = 0.2,
+                     compute_dtype: Any = jnp.float32,
+                     max_length: int = 20) -> Captioner:
+    """The 1.0M-param KD student recipe (configs/synthetic/kd_token.yaml):
+    Cdur5 CRNN encoder (crnn_trm_encoder.py:29-98 dims) + 1-layer
+    transformer decoder, emb 128.  Distilled from cnn14rnn_trm it
+    matches the 88M-param teacher's caption quality
+    (results/synthetic/kd_token_cdur5/) at a fraction of the encode
+    cost — the efficiency-frontier serving recipe."""
+    from audiocaption_tpu.models.encoders_extra import Cdur5Encoder
+    encoder = Cdur5Encoder()
+    decoder = TransformerDecoder(
+        emb_dim=decoder_emb_dim, vocab_size=vocab_size,
+        attn_emb_dim=256, fc_emb_dim=256, dropout=decoder_dropout,
+        nlayers=decoder_n_layers, compute_dtype=compute_dtype)
+    mel = CNN14_MEL_32K if sample_rate == 32000 else CNN14_MEL_16K
+    return Captioner(encoder=encoder, decoder=decoder, mel=mel,
+                     special=SpecialTokens(max_length=max_length))

@@ -100,13 +100,30 @@ def _workload_flops(model, variables, sr, seconds, max_length):
 
 
 def main():
+    import argparse
+
     from audiocaption_tpu.models.captioner import generate
-    from audiocaption_tpu.models.zoo import effb2_trm
+    from audiocaption_tpu.models.zoo import effb2_trm, kd_student_cdur5
     from audiocaption_tpu.utils.profiling import device_peak_flops
 
-    sr, seconds = 16000, 10
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=("flagship", "kd_student"),
+                    default="flagship",
+                    help="flagship = EffB2+Trm (the BASELINE workload; "
+                         "the driver runs this). kd_student = the 1.0M-"
+                         "param Cdur5 KD student that matches the 88M "
+                         "teacher's quality (efficiency-frontier row).")
+    cli = ap.parse_args()
+
+    seconds = 10
     vocab = 4981
-    model = effb2_trm(vocab_size=vocab, compute_dtype=jnp.bfloat16)
+    if cli.model == "kd_student":
+        sr = 32000
+        model = kd_student_cdur5(vocab_size=vocab,
+                                 compute_dtype=jnp.bfloat16)
+    else:
+        sr = 16000
+        model = effb2_trm(vocab_size=vocab, compute_dtype=jnp.bfloat16)
     # init on the (fast-compiling) CPU backend, then transfer — the
     # remote-compiled TPU backend takes minutes for the init graph
     with jax.default_device(jax.devices("cpu")[0]):
@@ -121,7 +138,17 @@ def main():
     rng = np.random.RandomState(0)
 
     def make_batch(B):
-        wav = jnp.asarray(rng.randn(B, seconds * sr).astype(np.float32))
+        if cli.model == "kd_student":
+            # 32 kHz batches are 100s of MB; generate on device rather
+            # than pushing them through the slow tunnel h2d path (the
+            # transfer sits outside the timed loop either way)
+            key = jax.random.PRNGKey(B)
+            wav = jax.jit(lambda k: jax.random.normal(
+                k, (B, seconds * sr), jnp.float32))(key)
+            wav.block_until_ready()
+        else:
+            wav = jnp.asarray(rng.randn(B, seconds * sr)
+                              .astype(np.float32))
         lens = jnp.asarray(
             rng.randint(int(0.6 * seconds * sr), seconds * sr, B)
             .astype(np.int32))
@@ -159,7 +186,8 @@ def main():
             best, best_cfg = cps, name
         return med
 
-    for B in (64, 128, 256):
+    small = cli.model == "kd_student"
+    for B in ((256, 512) if small else (64, 128, 256)):
         try:
             record(f"beam3_b{B}", B, beam_fn, make_batch(B))
         except Exception as e:  # OOM at large batch: keep best so far
@@ -170,7 +198,7 @@ def main():
     try:
         from audiocaption_tpu.decoding.fused_greedy import FusedGreedyDecoder
         fd = FusedGreedyDecoder(model, variables, max_length=20)
-        for B in (128, 256, 512):
+        for B in ((256, 512, 1024) if small else (128, 256, 512)):
             record(f"fused_greedy_b{B}", B, lambda w, l: fd(w, l),
                    make_batch(B))
     except Exception as e:
@@ -184,7 +212,7 @@ def main():
         fb = FusedBeamDecoder(model, variables, max_length=20,
                               beam_size=3)   # bf16 model -> bf16 caches,
         # kernel batch 128 (f32 caches cap it at 64)
-        for B in (64, 128, 256, 512):
+        for B in ((256, 512, 1024) if small else (64, 128, 256, 512)):
             record(f"fused_beam3_b{B}", B, lambda w, l: fb(w, l),
                    make_batch(B))
     except Exception as e:
@@ -241,9 +269,14 @@ def main():
         "value": round(best, 2),
         "unit": "clips/s",
         "vs_baseline": None,
-        "workload": "batched 10s 16kHz clips, EffB2+Trm len20 bf16 "
-                    "(best of XLA beam-3 / fused greedy / fused beam-3 "
-                    "whole-loop kernels)",
+        "workload": (
+            "batched 10s 32kHz clips, Cdur5+Trm 1.0M-param KD student "
+            "len20 (best of XLA beam-3 / fused greedy / fused beam-3 "
+            "whole-loop kernels)" if small else
+            "batched 10s 16kHz clips, EffB2+Trm len20 bf16 "
+            "(best of XLA beam-3 / fused greedy / fused beam-3 "
+            "whole-loop kernels)"),
+        "model": cli.model,
         "config": best_cfg,
         "device": str(jax.devices()[0]),
         "trials_per_config": 3,

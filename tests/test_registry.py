@@ -131,3 +131,27 @@ def test_event_transformer_decoder_from_config():
         cfg, cond={"cond_kwargs": {
             "event": jnp.asarray(np.random.RandomState(1)
                                  .rand(2, 17).astype(np.float32))}})
+
+
+def test_kd_student_zoo_builder_decodes():
+    """The efficiency-frontier serving recipe (zoo.kd_student_cdur5,
+    configs/synthetic/kd_token.yaml dims) builds, stays ~1.0M params,
+    and greedy-decodes a 1 s 32 kHz clip."""
+    from audiocaption_tpu.models.captioner import generate
+    from audiocaption_tpu.models.zoo import kd_student_cdur5
+
+    model = kd_student_cdur5(vocab_size=100, max_length=4)
+    wav = jnp.asarray(np.random.RandomState(0)
+                      .randn(2, 32000).astype(np.float32))
+    lens = jnp.asarray([32000, 24000], jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        wav, lens, jnp.ones((2, 3), jnp.int32),
+        jnp.asarray([3, 3], jnp.int32), train=False)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(variables["params"]))
+    # vocab-100 head here; the vocab-4981 config lands at 1.00M
+    assert n_params < 1_200_000
+    out = generate(model, variables, wav, lens, sample_method="greedy",
+                   max_length=4)
+    assert out["seq"].shape == (2, 4)
