@@ -38,8 +38,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import warnings
+
 from audiocaption_tpu.decoding.fused_greedy import (
-    HPAD, _tree_bytes, BAKE_LIMIT_BYTES, pack_decoder_weights)
+    HPAD, MIN_KERNEL_BATCH, _is_compile_resource_error, _tree_bytes,
+    BAKE_LIMIT_BYTES, pack_decoder_weights)
 from audiocaption_tpu.models.captioner import Captioner
 from audiocaption_tpu.models.transformer_decoder import TransformerDecoder
 
@@ -481,6 +484,7 @@ class FusedBeamDecoder:
         # weights — the per-dot activation casts cost more than the
         # bf16 MXU rate saves at these small row counts (PERF.md).
         self.weights_bf16 = bool(weights_bf16) if weights_bf16 else False
+        self._explicit_kernel_batch = max_kernel_batch
         if max_kernel_batch is None:
             max_kernel_batch = 128 if self.cache_bf16 else 64
         self.max_kernel_batch = max_kernel_batch
@@ -585,13 +589,29 @@ class FusedBeamDecoder:
 
     def __call__(self, wav, wav_len, n_best: bool = False):
         B = wav.shape[0]
-        if B <= self.max_kernel_batch:
-            seq, score = self._run(wav, wav_len)
-        else:
-            key = (B, self.max_kernel_batch)
-            if key not in self._chunked_cache:
-                self._chunked_cache[key] = self._make_chunked(B)
-            seq, score = self._chunked_cache[key](wav, wav_len)
+        while True:
+            try:
+                if B <= self.max_kernel_batch:
+                    seq, score = self._run(wav, wav_len)
+                else:
+                    key = (B, self.max_kernel_batch)
+                    if key not in self._chunked_cache:
+                        self._chunked_cache[key] = self._make_chunked(B)
+                    seq, score = self._chunked_cache[key](wav, wav_len)
+                break
+            except Exception as e:
+                if (self._explicit_kernel_batch is not None
+                        or self.max_kernel_batch <= MIN_KERNEL_BATCH
+                        or not _is_compile_resource_error(e)):
+                    raise
+                warnings.warn(
+                    "fused beam: kernel chunk "
+                    f"{self.max_kernel_batch} failed to compile "
+                    f"({type(e).__name__}); retrying with chunk "
+                    f"{self.max_kernel_batch // 2} (long encoder "
+                    "memories exceed the VMEM budget at the default "
+                    "chunk)")
+                self.max_kernel_batch //= 2
         if n_best:
             return seq, score
         return seq[:, 0]

@@ -27,6 +27,7 @@ token-for-token with the reference greedy loop (base.py:152-168).
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Any, Dict, Tuple
 
 import jax
@@ -48,6 +49,26 @@ HPAD = 128   # lanes per head block
 # f32) constant-folded into the program exceeds the axon remote-compile
 # request limit (HTTP 413).
 BAKE_LIMIT_BYTES = 128 * 1024 * 1024
+
+# The kernels hold the encoder memory K/V and the decode caches fully
+# in VMEM, so the feasible kernel chunk depends on the MEMORY LENGTH:
+# the defaults (128) are sized for short memories (flagship EffB2,
+# S~31).  Long-memory encoders (Cdur5/CRNN families, S~250 at 10 s)
+# can push a chunk past the scoped-VMEM budget, which surfaces as a
+# Mosaic/remote-compile failure rather than a clean OOM.  Instead of
+# modelling the allocator, the decoders degrade gracefully: on a
+# compile-shaped failure the chunk is halved (down to 32) and the call
+# retried; past that the error propagates with the XLA engine
+# (`generate(..., sample_method=...)`) as the documented escape hatch.
+_COMPILE_FALLBACK_MARKERS = (
+    "remote_compile", "RESOURCE_EXHAUSTED", "vmem", "VMEM", "Mosaic",
+    "mosaic", "INTERNAL")
+MIN_KERNEL_BATCH = 32
+
+
+def _is_compile_resource_error(e: Exception) -> bool:
+    msg = str(e)
+    return any(m in msg for m in _COMPILE_FALLBACK_MARKERS)
 
 
 def _tree_bytes(tree) -> int:
@@ -330,7 +351,8 @@ class FusedGreedyDecoder:
     """
 
     def __init__(self, model: Captioner, variables: Dict,
-                 max_length: int = 20, bake_params: bool = None):
+                 max_length: int = 20, bake_params: bool = None,
+                 max_kernel_batch: int = None):
         self.model = model
         self.dec: TransformerDecoder = model.decoder
         # exact type: conditioned subclasses (Event/KeywordProb) inject
@@ -338,6 +360,7 @@ class FusedGreedyDecoder:
         assert type(self.dec) is TransformerDecoder, (
             "fused decode supports the plain TransformerDecoder only; "
             f"got {type(self.dec).__name__}")
+        self._explicit_kernel_batch = max_kernel_batch
         self.variables = variables
         self.max_length = max_length
         packed = pack_decoder_weights(
@@ -402,8 +425,11 @@ class FusedGreedyDecoder:
             run_v = jax.jit(run)
             self._run = lambda w, l: run_v(self.variables, w, l)
         # mem K/V live fully in VMEM: cap the kernel batch (B=128 with
-        # S<=32 fits the ~100MB scoped VMEM; B=256 does not)
-        self.max_kernel_batch = 128
+        # S<=32 fits the ~100MB scoped VMEM; B=256 does not).  Long
+        # memories shrink this via the compile-failure fallback in
+        # __call__ (see _COMPILE_FALLBACK_MARKERS).
+        self.max_kernel_batch = (128 if max_kernel_batch is None
+                                 else max_kernel_batch)
         self._chunked_cache = {}
 
         def make_chunked(B):
@@ -438,9 +464,24 @@ class FusedGreedyDecoder:
 
     def __call__(self, wav, wav_len) -> jnp.ndarray:
         B = wav.shape[0]
-        if B <= self.max_kernel_batch:
-            return self._run(wav, wav_len)
-        key = (B, self.max_kernel_batch)
-        if key not in self._chunked_cache:
-            self._chunked_cache[key] = self._make_chunked(B)
-        return self._chunked_cache[key](wav, wav_len)
+        while True:
+            try:
+                if B <= self.max_kernel_batch:
+                    return self._run(wav, wav_len)
+                key = (B, self.max_kernel_batch)
+                if key not in self._chunked_cache:
+                    self._chunked_cache[key] = self._make_chunked(B)
+                return self._chunked_cache[key](wav, wav_len)
+            except Exception as e:
+                if (self._explicit_kernel_batch is not None
+                        or self.max_kernel_batch <= MIN_KERNEL_BATCH
+                        or not _is_compile_resource_error(e)):
+                    raise
+                warnings.warn(
+                    "fused greedy: kernel chunk "
+                    f"{self.max_kernel_batch} failed to compile "
+                    f"({type(e).__name__}); retrying with chunk "
+                    f"{self.max_kernel_batch // 2} (long encoder "
+                    "memories exceed the VMEM budget at the default "
+                    "chunk)")
+                self.max_kernel_batch //= 2

@@ -161,3 +161,58 @@ def test_bake_params_modes_token_identical(interp):
                                           bake_params=False)
     np.testing.assert_array_equal(np.asarray(fd_auto(wav, lens)),
                                   np.asarray(fd_traced(wav, lens)))
+
+
+def test_compile_failure_fallback_halves_chunk(interp):
+    """Long-memory encoders can exceed the kernel's VMEM budget at the
+    default chunk, surfacing as a Mosaic/remote-compile failure; the
+    decoder must halve the chunk and retry instead of crashing
+    (measured on chip: the Cdur5 student's S=250 memory fails to
+    compile fused beam at chunk 128 but runs at 64)."""
+    from audiocaption_tpu.decoding import fused_greedy as fg
+    model, variables = _small_model()
+    fd = interp.FusedGreedyDecoder(model, variables, max_length=6)
+    wav = jnp.asarray(np.random.RandomState(2).randn(4, 16000),
+                      jnp.float32)
+    lens = jnp.asarray([16000, 9000, 12000, 7000])
+    want = np.asarray(fd(wav, lens))
+
+    calls = {"n": 0}
+    real_run = fd._run
+
+    def failing_run(w, l):
+        calls["n"] += 1
+        raise RuntimeError(
+            "INTERNAL: http://127.0.0.1:1/remote_compile: HTTP 500: "
+            "tpu_compile_helper subprocess exit code 1")
+
+    fd.max_kernel_batch = 128
+    fd._run = failing_run
+    fd._chunked_cache.clear()
+    # B=4 <= 128 -> _run raises a compile-shaped error -> chunk halves
+    # until 4 > chunk is false... chunk floor (32) still >= B, so the
+    # fallback must stop at MIN_KERNEL_BATCH and re-raise.
+    with pytest.warns(UserWarning, match="retrying with chunk"):
+        with pytest.raises(RuntimeError, match="remote_compile"):
+            fd(wav, lens)
+    assert fd.max_kernel_batch == fg.MIN_KERNEL_BATCH
+    assert calls["n"] == 3                     # tried 128, 64, 32
+
+    # restore a working _run at the shrunken chunk: same tokens
+    fd._run = real_run
+    got = np.asarray(fd(wav, lens))
+    np.testing.assert_array_equal(got, want)
+
+    # non-compile errors propagate immediately (no silent retries)
+    fd._run = lambda w, l: (_ for _ in ()).throw(ValueError("user bug"))
+    fd.max_kernel_batch = 128
+    with pytest.raises(ValueError, match="user bug"):
+        fd(wav, lens)
+
+    # an EXPLICIT max_kernel_batch disables the fallback entirely
+    fd2 = interp.FusedGreedyDecoder(model, variables, max_length=6,
+                                    max_kernel_batch=64)
+    fd2._run = failing_run
+    with pytest.raises(RuntimeError, match="remote_compile"):
+        fd2(wav, lens)
+    assert fd2.max_kernel_batch == 64
