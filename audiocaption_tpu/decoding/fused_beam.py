@@ -551,10 +551,9 @@ class FusedBeamDecoder:
             run_v = jax.jit(run)
             self._run = lambda w, l: run_v(self.variables, w, l)
         self._chunked_cache = {}
+        self._chunk_for_frames: Dict[int, int] = {}
 
-        def make_chunked(B):
-            mb = self.max_kernel_batch
-
+        def make_chunked(B, mb):
             # ONE jitted program: encode the full batch once (the
             # encoder is ~2x more efficient at B=128 than 2x64), then
             # invoke the VMEM-capped kernel per memory slice inside the
@@ -588,30 +587,36 @@ class FusedBeamDecoder:
         self._make_chunked = make_chunked
 
     def __call__(self, wav, wav_len, n_best: bool = False):
-        B = wav.shape[0]
+        B, T = wav.shape[0], wav.shape[1]
+        chunk = self._chunk_for_frames.get(T, self.max_kernel_batch)
         while True:
             try:
-                if B <= self.max_kernel_batch:
+                if B <= chunk:
                     seq, score = self._run(wav, wav_len)
                 else:
-                    key = (B, self.max_kernel_batch)
+                    key = (B, chunk)
                     if key not in self._chunked_cache:
-                        self._chunked_cache[key] = self._make_chunked(B)
+                        self._chunked_cache[key] = self._make_chunked(
+                            B, chunk)
                     seq, score = self._chunked_cache[key](wav, wav_len)
+                self._chunk_for_frames[T] = chunk
                 break
             except Exception as e:
+                half = chunk // 2
+                # retry only when the halved chunk produces a DIFFERENT
+                # program (half < B); otherwise re-running is the same
+                # compile failing again
                 if (self._explicit_kernel_batch is not None
-                        or self.max_kernel_batch <= MIN_KERNEL_BATCH
+                        or half < MIN_KERNEL_BATCH
+                        or half >= B
                         or not _is_compile_resource_error(e)):
                     raise
                 warnings.warn(
-                    "fused beam: kernel chunk "
-                    f"{self.max_kernel_batch} failed to compile "
-                    f"({type(e).__name__}); retrying with chunk "
-                    f"{self.max_kernel_batch // 2} (long encoder "
-                    "memories exceed the VMEM budget at the default "
-                    "chunk)")
-                self.max_kernel_batch //= 2
+                    f"fused beam: kernel chunk {chunk} failed to "
+                    f"compile ({type(e).__name__}: {str(e)[:200]}); "
+                    f"retrying with chunk {half} (long encoder memories "
+                    "exceed the VMEM budget at the default chunk)")
+                chunk = half
         if n_best:
             return seq, score
         return seq[:, 0]

@@ -58,11 +58,19 @@ BAKE_LIMIT_BYTES = 128 * 1024 * 1024
 # Mosaic/remote-compile failure rather than a clean OOM.  Instead of
 # modelling the allocator, the decoders degrade gracefully: on a
 # compile-shaped failure the chunk is halved (down to 32) and the call
-# retried; past that the error propagates with the XLA engine
-# (`generate(..., sample_method=...)`) as the documented escape hatch.
-_COMPILE_FALLBACK_MARKERS = (
-    "remote_compile", "RESOURCE_EXHAUSTED", "vmem", "VMEM", "Mosaic",
-    "mosaic", "INTERNAL")
+# retried — but ONLY when the smaller chunk actually changes the
+# compiled program (halved chunk < batch); past the floor the error
+# propagates with the XLA engine (`generate(..., sample_method=...)`)
+# as the documented escape hatch.  The markers require explicit
+# Pallas/VMEM/remote-compile context so that an unrelated XLA INTERNAL
+# error or an HBM OOM of the input batch (which chunking the *kernel*
+# cannot fix) propagates on first failure instead of burning
+# minutes-long recompiles.  The working chunk is remembered PER padded
+# wav length (each static shape is its own program), not by mutating
+# the configured default, so one long-memory bucket cannot degrade
+# throughput of every later call.
+_COMPILE_FALLBACK_MARKERS = ("remote_compile", "Mosaic", "mosaic",
+                             "vmem", "VMEM")
 MIN_KERNEL_BATCH = 32
 
 
@@ -427,14 +435,15 @@ class FusedGreedyDecoder:
         # mem K/V live fully in VMEM: cap the kernel batch (B=128 with
         # S<=32 fits the ~100MB scoped VMEM; B=256 does not).  Long
         # memories shrink this via the compile-failure fallback in
-        # __call__ (see _COMPILE_FALLBACK_MARKERS).
+        # __call__ (see _COMPILE_FALLBACK_MARKERS); the shrunken chunk
+        # is remembered per padded wav length in _chunk_for_frames, the
+        # configured default below is never mutated.
         self.max_kernel_batch = (128 if max_kernel_batch is None
                                  else max_kernel_batch)
         self._chunked_cache = {}
+        self._chunk_for_frames: Dict[int, int] = {}
 
-        def make_chunked(B):
-            mb = self.max_kernel_batch
-
+        def make_chunked(B, mb):
             # ONE jitted program for the whole batch, per-chunk
             # pipeline inside it.  Two measured facts (TPU v5e, B=256):
             # issuing chunks/slices as separate dispatches is
@@ -463,25 +472,33 @@ class FusedGreedyDecoder:
         self._make_chunked = make_chunked
 
     def __call__(self, wav, wav_len) -> jnp.ndarray:
-        B = wav.shape[0]
+        B, T = wav.shape[0], wav.shape[1]
+        chunk = self._chunk_for_frames.get(T, self.max_kernel_batch)
         while True:
             try:
-                if B <= self.max_kernel_batch:
-                    return self._run(wav, wav_len)
-                key = (B, self.max_kernel_batch)
-                if key not in self._chunked_cache:
-                    self._chunked_cache[key] = self._make_chunked(B)
-                return self._chunked_cache[key](wav, wav_len)
+                if B <= chunk:
+                    out = self._run(wav, wav_len)
+                else:
+                    key = (B, chunk)
+                    if key not in self._chunked_cache:
+                        self._chunked_cache[key] = self._make_chunked(
+                            B, chunk)
+                    out = self._chunked_cache[key](wav, wav_len)
+                self._chunk_for_frames[T] = chunk
+                return out
             except Exception as e:
+                half = chunk // 2
+                # retry only when the halved chunk produces a DIFFERENT
+                # program (half < B); otherwise re-running is the same
+                # compile failing again
                 if (self._explicit_kernel_batch is not None
-                        or self.max_kernel_batch <= MIN_KERNEL_BATCH
+                        or half < MIN_KERNEL_BATCH
+                        or half >= B
                         or not _is_compile_resource_error(e)):
                     raise
                 warnings.warn(
-                    "fused greedy: kernel chunk "
-                    f"{self.max_kernel_batch} failed to compile "
-                    f"({type(e).__name__}); retrying with chunk "
-                    f"{self.max_kernel_batch // 2} (long encoder "
-                    "memories exceed the VMEM budget at the default "
-                    "chunk)")
-                self.max_kernel_batch //= 2
+                    f"fused greedy: kernel chunk {chunk} failed to "
+                    f"compile ({type(e).__name__}: {str(e)[:200]}); "
+                    f"retrying with chunk {half} (long encoder memories "
+                    "exceed the VMEM budget at the default chunk)")
+                chunk = half

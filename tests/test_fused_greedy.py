@@ -163,12 +163,13 @@ def test_bake_params_modes_token_identical(interp):
                                   np.asarray(fd_traced(wav, lens)))
 
 
-def test_compile_failure_fallback_halves_chunk(interp):
+def test_compile_failure_fallback_halves_chunk(interp, monkeypatch):
     """Long-memory encoders can exceed the kernel's VMEM budget at the
     default chunk, surfacing as a Mosaic/remote-compile failure; the
-    decoder must halve the chunk and retry instead of crashing
-    (measured on chip: the Cdur5 student's S=250 memory fails to
-    compile fused beam at chunk 128 but runs at 64)."""
+    decoder must halve the chunk and retry — but ONLY when the halved
+    chunk actually changes the compiled program (measured on chip: the
+    Cdur5 student's S=250 memory fails to compile fused beam at chunk
+    128 but runs at 64)."""
     from audiocaption_tpu.decoding import fused_greedy as fg
     model, variables = _small_model()
     fd = interp.FusedGreedyDecoder(model, variables, max_length=6)
@@ -178,41 +179,65 @@ def test_compile_failure_fallback_halves_chunk(interp):
     want = np.asarray(fd(wav, lens))
 
     calls = {"n": 0}
-    real_run = fd._run
 
     def failing_run(w, l):
         calls["n"] += 1
         raise RuntimeError(
-            "INTERNAL: http://127.0.0.1:1/remote_compile: HTTP 500: "
-            "tpu_compile_helper subprocess exit code 1")
+            "Mosaic failed: http://127.0.0.1:1/remote_compile: HTTP "
+            "500: tpu_compile_helper subprocess exit code 1")
 
-    fd.max_kernel_batch = 128
+    # (a) B=4 at chunk 128: halving to 64 would re-run the IDENTICAL
+    # whole-batch program (64 >= B), so the error must propagate after
+    # exactly ONE attempt — no pointless recompile cycles.
     fd._run = failing_run
-    fd._chunked_cache.clear()
-    # B=4 <= 128 -> _run raises a compile-shaped error -> chunk halves
-    # until 4 > chunk is false... chunk floor (32) still >= B, so the
-    # fallback must stop at MIN_KERNEL_BATCH and re-raise.
-    with pytest.warns(UserWarning, match="retrying with chunk"):
-        with pytest.raises(RuntimeError, match="remote_compile"):
-            fd(wav, lens)
-    assert fd.max_kernel_batch == fg.MIN_KERNEL_BATCH
-    assert calls["n"] == 3                     # tried 128, 64, 32
+    fd._chunk_for_frames.clear()
+    with pytest.raises(RuntimeError, match="remote_compile"):
+        fd(wav, lens)
+    assert calls["n"] == 1
+    assert fd.max_kernel_batch == 128          # default never mutated
 
-    # restore a working _run at the shrunken chunk: same tokens
-    fd._run = real_run
-    got = np.asarray(fd(wav, lens))
+    # (b) a genuine halving: chunk 4 == B, half 2 < B changes the
+    # program to the chunked path, which succeeds -> same tokens, and
+    # the working chunk is remembered PER padded wav length.
+    monkeypatch.setattr(fg, "MIN_KERNEL_BATCH", 2)
+    fd.max_kernel_batch = 4
+    fd._chunk_for_frames.clear()
+    with pytest.warns(UserWarning, match="retrying with chunk 2"):
+        got = np.asarray(fd(wav, lens))
     np.testing.assert_array_equal(got, want)
+    assert fd._chunk_for_frames[16000] == 2
+    assert fd.max_kernel_batch == 4            # default never mutated
+    # second call at the same padded length: straight to chunk 2,
+    # no failing attempt, no warning
+    calls["n"] = 0
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        got2 = np.asarray(fd(wav, lens))
+    np.testing.assert_array_equal(got2, want)
+    assert calls["n"] == 0
 
-    # non-compile errors propagate immediately (no silent retries)
+    # (c) a bare INTERNAL error without Pallas/VMEM/remote-compile
+    # context is NOT compile-shaped: propagate on first failure
+    fd._run = lambda w, l: (_ for _ in ()).throw(
+        RuntimeError("INTERNAL: something unrelated broke"))
+    fd._chunk_for_frames.clear()
+    with pytest.raises(RuntimeError, match="something unrelated"):
+        fd(wav, lens)
+
+    # (d) non-compile user errors propagate immediately too
     fd._run = lambda w, l: (_ for _ in ()).throw(ValueError("user bug"))
-    fd.max_kernel_batch = 128
+    fd._chunk_for_frames.clear()
     with pytest.raises(ValueError, match="user bug"):
         fd(wav, lens)
 
-    # an EXPLICIT max_kernel_batch disables the fallback entirely
+    # (e) an EXPLICIT max_kernel_batch disables the fallback entirely
     fd2 = interp.FusedGreedyDecoder(model, variables, max_length=6,
-                                    max_kernel_batch=64)
+                                    max_kernel_batch=2)
+    calls["n"] = 0
     fd2._run = failing_run
+    fd2._make_chunked = lambda B, mb: failing_run
     with pytest.raises(RuntimeError, match="remote_compile"):
         fd2(wav, lens)
-    assert fd2.max_kernel_batch == 64
+    assert calls["n"] == 1
+    assert fd2.max_kernel_batch == 2
