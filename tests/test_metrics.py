@@ -203,6 +203,69 @@ def test_meteor_best_of_refs_and_corpus_mean():
     assert avg == pytest.approx((exp_a + 0.5) / 2)
 
 
+def test_meteor_min_chunk_alignment_beats_greedy():
+    """Banerjee-Lavie picks the maximum-cardinality alignment with the
+    FEWEST chunks; the greedy first-free in-order matcher (the old
+    implementation) can pick a worse pairing.  Hand case: hyp
+    'x a y a' vs ref 'a x a y' — pairing the a's anti-monotone,
+    (1,2),(3,0), makes (0,1),(1,2),(2,3) one contiguous run: 2 chunks
+    total; greedy pairs (1,0),(3,2) giving 4 chunks."""
+    from audiocaption_tpu.metrics.meteor import (
+        _count_chunks, _stage_match_greedy, _stem, meteor_pair)
+    hyp, ref = "x a y a".split(), "a x a y".split()
+    hf, rf = [True] * 4, [True] * 4
+    greedy = _stage_match_greedy(hyp, ref, hf, rf, key=lambda w: w)
+    greedy += _stage_match_greedy(hyp, ref, hf, rf, key=_stem)
+    assert _count_chunks(greedy) == 4          # greedy is suboptimal
+    # exact: m=4, P=R=Fmean=1, 2 chunks -> penalty 0.5*(2/4)^3
+    assert meteor_pair(hyp, ref) == pytest.approx(1 - 0.5 * 0.5 ** 3)
+
+
+def test_meteor_exact_never_below_greedy_property():
+    """Property: over random token pairs the exact alignment's score is
+    always >= the greedy one's (same cardinality, <= chunks), and
+    strictly greater somewhere — proving the greedy matcher was not
+    computing the METEOR alignment."""
+    import random
+
+    from audiocaption_tpu.metrics.meteor import (
+        _ALPHA, _BETA, _GAMMA, _count_chunks, _stage_match_greedy,
+        _stem, meteor_pair)
+
+    def greedy_score(hyp, ref):
+        hf, rf = [True] * len(hyp), [True] * len(ref)
+        ms = _stage_match_greedy(hyp, ref, hf, rf, key=lambda w: w)
+        ms += _stage_match_greedy(hyp, ref, hf, rf, key=_stem)
+        m = len(ms)
+        if m == 0:
+            return 0.0
+        p, r = m / len(hyp), m / len(ref)
+        fmean = p * r / (_ALPHA * p + (1.0 - _ALPHA) * r)
+        return fmean * (1.0 - _GAMMA * (_count_chunks(ms) / m) ** _BETA)
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "cats", "cat"]
+    strict = 0
+    for _ in range(300):
+        hyp = [rng.choice(vocab) for _ in range(rng.randint(1, 8))]
+        ref = [rng.choice(vocab) for _ in range(rng.randint(1, 8))]
+        ge, ex = greedy_score(hyp, ref), meteor_pair(hyp, ref)
+        assert ex >= ge - 1e-12, (hyp, ref)
+        if ex > ge + 1e-12:
+            strict += 1
+    assert strict > 0
+
+
+def test_meteor_enum_budget_terminates():
+    """Pathological repeated-token inputs must terminate under the
+    enumeration budget and still score at least the greedy seed."""
+    from audiocaption_tpu.metrics.meteor import meteor_pair
+    hyp = ["a"] * 10 + ["b"]
+    ref = ["b"] + ["a"] * 10
+    s = meteor_pair(hyp, ref)
+    assert 0.0 < s <= 1.0
+
+
 def test_evaluate_captions_reports_meteor_py_without_java():
     result = evaluate_captions(
         {k: [v[0]] for k, v in PREDS.items()}, REFS, use_java=False,
