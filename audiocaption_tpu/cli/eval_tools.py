@@ -7,6 +7,10 @@ python_scripts/utils/{eval_round_robin,report_results}.py):
         --predictions preds.json [--train_caption train_text.json]
     python -m audiocaption_tpu.cli.eval_tools score \
         --predictions preds.json --caption text.json
+    python -m audiocaption_tpu.cli.eval_tools specificity \
+        --predictions preds.json --word_specificity word_spec.tsv
+    python -m audiocaption_tpu.cli.eval_tools clap \
+        --predictions preds.json --caption text.json
 """
 
 from __future__ import annotations
@@ -40,6 +44,17 @@ def main(argv=None):
     sc = sub.add_parser("score")
     sc.add_argument("--predictions", required=True)
     sc.add_argument("--caption", required=True)
+    sp = sub.add_parser("specificity")
+    sp.add_argument("--predictions", required=True)
+    sp.add_argument("--word_specificity", required=True,
+                    help="TSV with word/specificity columns "
+                         "(data_tools extract_specificity output)")
+    cl = sub.add_parser("clap")
+    cl.add_argument("--predictions", required=True)
+    cl.add_argument("--caption", required=True)
+    cl.add_argument("--model_name", default=None,
+                    help="HF CLAP checkpoint (default "
+                         "laion/clap-htsat-unfused)")
     args = p.parse_args(argv)
 
     from audiocaption_tpu.data.dataset import load_caption_json
@@ -74,6 +89,27 @@ def main(argv=None):
         for k, v in evaluate_captions(preds, refs).items():
             if isinstance(v, float):
                 print(f"{k}: {v:.4f}")
+    elif args.command == "specificity":
+        from audiocaption_tpu.metrics.extra import (
+            load_word_specificity, specificity_score)
+        preds = [v[0] for v in _load_predictions(args.predictions).values()]
+        table = load_word_specificity(args.word_specificity)
+        print(f"specificity: {specificity_score(preds, table):.4f}")
+    elif args.command == "clap":
+        from audiocaption_tpu.metrics.extra import (
+            _CLAP_MODEL_NAME, clap_text_similarity)
+        preds = _load_predictions(args.predictions)
+        refs = load_caption_json(args.caption)
+        refs = {k: v for k, v in refs.items() if k in preds}
+        result = clap_text_similarity(
+            preds, refs,
+            model_name=args.model_name or _CLAP_MODEL_NAME)
+        if result is None:
+            print("clap: SKIPPED (CLAP weights unavailable — needs the "
+                  "laion/clap-htsat-unfused checkpoint, see MIGRATION.md)")
+        else:
+            avg, _ = result
+            print(f"clap: {avg:.4f}")
 
 
 if __name__ == "__main__":
