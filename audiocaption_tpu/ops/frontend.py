@@ -200,11 +200,25 @@ class LogMelFrontend:
     ``compute_dtype`` selects the DFT conv input precision (measured
     neutral on the current XLA version — the conv is bandwidth-bound —
     but kept as a knob for other compiler versions).
+
+    ``use_pallas`` selects the fused whole-pipeline Pallas kernel
+    (ops/pallas_logmel.py) instead of the conv-DFT XLA path.  Default
+    (None) resolves from on-chip A/B measurements (PERF.md "log-mel
+    frontend"): the kernel wins on the 32 kHz presets (7.1 vs 9.2 ms at
+    B=128, +29%; +18% at B=256) and loses on the 16 kHz EffB2 preset
+    (-13% / -39%), so auto = TPU backend AND sample_rate == 32000.
+    The two paths agree numerically to float-associativity tolerance
+    (tests/test_pallas_logmel.py), not bit-exactly.
     """
 
-    def __init__(self, config: MelConfig, compute_dtype=jnp.float32):
+    def __init__(self, config: MelConfig, compute_dtype=jnp.float32,
+                 use_pallas: Optional[bool] = None):
         self.config = config
         self.compute_dtype = compute_dtype
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() != "cpu"
+                          and config.sample_rate == 32000)
+        self.use_pallas = bool(use_pallas)
         window = hann_window(config.n_fft)
         self._basis = _dft_basis(config.n_fft, window)          # [n_fft, 2F]
         self._mel_fb = mel_filterbank(
@@ -245,6 +259,9 @@ class LogMelFrontend:
 
     def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
         """[B, T] -> log-mel [B, n_frames, n_mels] (float32)."""
+        if self.use_pallas:
+            from audiocaption_tpu.ops.pallas_logmel import pallas_logmel
+            return pallas_logmel(wav, self.config)
         power = self.power_spectrogram(wav)
         mel = jnp.einsum("btf,fm->btm", power, jnp.asarray(self._mel_fb),
                          preferred_element_type=jnp.float32)
