@@ -34,7 +34,14 @@ def main(argv=None):
     p.add_argument("--wav_csv", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--encoder", default="cnn14",
-                   choices=["cnn14", "cnn10", "cnn6", "effb2", "htsat"])
+                   choices=["cnn14", "cnn10", "cnn6", "effb2", "htsat",
+                            "panns_cnn10", "panns_wavegram"],
+                   help="panns_* select the original PANNs CLASSIFIERS "
+                        "(models/panns.py, reference panns.py:44-320): "
+                        "features come from the tagger and probs.h5 "
+                        "gets the 527-class AudioSet probabilities "
+                        "(the keyword/event-conditioned families read "
+                        "that h5, keyword_dataset.py:28-49)")
     p.add_argument("--checkpoint", default=None,
                    help="torch checkpoint (PANNs / COLA / BLAT / HEAR; "
                         "htsat also covers CLAP-style HTS-AT audio "
@@ -94,6 +101,54 @@ def main(argv=None):
         _write_features(args, encode, bucket_sr, h5py, jnp)
         return
 
+    if args.encoder in ("panns_cnn10", "panns_wavegram"):
+        from audiocaption_tpu.models.panns import (
+            Cnn10, Wavegram_Logmel_Cnn14, convert_cnn10_classifier,
+            convert_wavegram_cnn14)
+        mel = CNN14_MEL_32K
+        frontend = LogMelFrontend(mel)
+        wavegram = args.encoder == "panns_wavegram"
+        clf = Wavegram_Logmel_Cnn14() if wavegram else Cnn10()
+        with jax.default_device(jax.devices("cpu")[0]):
+            lms0 = jnp.zeros((1, 101, 64))
+            if wavegram:
+                variables = clf.init(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 32000)), lms0)
+            else:
+                variables = clf.init(jax.random.PRNGKey(0), lms0)
+        if args.checkpoint:
+            import torch
+            from audiocaption_tpu.models import convert as C
+            ckpt = torch.load(args.checkpoint, map_location="cpu",
+                              weights_only=False)
+            sd = C.state_dict_to_numpy(
+                ckpt.get("model", ckpt) if isinstance(ckpt, dict)
+                else ckpt)
+            conv = (convert_wavegram_cnn14 if wavegram
+                    else convert_cnn10_classifier)
+            params, stats = conv(sd)
+            variables = {"params": params, "batch_stats": stats}
+        variables = jax.device_put(variables, jax.devices()[0])
+
+        @jax.jit
+        def _encode(v, wav, wav_len):
+            lms = frontend(wav)
+            out = clf.apply(v, wav, lms) if wavegram else clf.apply(v, lms)
+            feat_len = mel.feat_len(wav_len)
+            # downsample ratio from the realized shapes (Cnn10: 16,
+            # wavegram-Cnn14: 32+) — masked length for the attn rows
+            ratio = max(1, lms.shape[1] // out["attn_feat"].shape[1])
+            return {"fc_emb": out["fc_feat"],
+                    "attn_emb": out["attn_feat"],
+                    "attn_emb_len": feat_len // ratio,
+                    "clipwise_output": out["clipwise_output"]}
+
+        def encode(wav, wav_len):
+            return _encode(variables, wav, wav_len)
+
+        _write_features(args, encode, mel.sample_rate, h5py, jnp)
+        return
+
     if args.encoder == "effb2":
         enc_def, mel = EfficientNetB2(), EFFB2_MEL_16K
     elif args.encoder == "cnn14":
@@ -150,6 +205,7 @@ def _write_features(args, encode, bucket_sr, h5py, jnp):
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     rows = []
+    probs_h5 = None
     with h5py.File(out_dir / "fc.h5", "w") as fc_h5, \
             h5py.File(out_dir / "attn.h5", "w") as attn_h5:
         for i in range(0, len(ds), args.batch_size):
@@ -161,12 +217,22 @@ def _write_features(args, encode, bucket_sr, h5py, jnp):
             fc = np.asarray(out["fc_emb"])
             attn = np.asarray(out["attn_emb"])
             alens = np.asarray(out["attn_emb_len"])
+            probs = (np.asarray(out["clipwise_output"])
+                     if "clipwise_output" in out else None)
+            if probs is not None and probs_h5 is None:
+                # tagger probabilities for the keyword/event-conditioned
+                # families (keyword_dataset h5 contract)
+                probs_h5 = h5py.File(out_dir / "probs.h5", "w")
             for k, it in enumerate(items):
                 aid = it["audio_id"]
                 fc_h5[aid] = fc[k]
                 attn_h5[aid] = attn[k, :alens[k]]
+                if probs is not None:
+                    probs_h5[aid] = probs[k]
                 rows.append((aid, str(out_dir / "fc.h5"),
                              str(out_dir / "attn.h5")))
+    if probs_h5 is not None:
+        probs_h5.close()
     with open(out_dir / "features.csv", "w", newline="") as f:
         w = csv.writer(f, delimiter="\t")
         w.writerow(["audio_id", "fc_hdf5", "attn_hdf5"])

@@ -81,7 +81,12 @@ def build_tokenizer(cfg: Dict):
 def build_dataset(cfg: Dict):
     t = _short(cfg["type"])
     args = dict(cfg.get("args", {}) or {})
-    args.pop("transforms", None)   # transform registry hooked separately
+    # per-item transform chains from the augment registry (reference
+    # caption_dataset.py:38-49): [{type: gaussian_noise, args: {...}}]
+    tf_specs = args.pop("transforms", None)
+    if tf_specs:
+        from audiocaption_tpu.data.augment import build_transforms
+        args["transforms"] = build_transforms(tf_specs)
     if t == "CaptionDataset":
         return CaptionDataset(**args)
     if t == "InferenceDataset":
@@ -89,6 +94,9 @@ def build_dataset(cfg: Dict):
     if t in ("WavCaptionDataset", "CaptionWavReadDataset"):
         from audiocaption_tpu.data.dataset import WavCaptionDataset
         return WavCaptionDataset(**args)
+    if t in ("CaptionKdDataset", "InferKdDataset"):
+        from audiocaption_tpu.data import kd_dataset as kdd
+        return getattr(kdd, t)(**args)
     if t in ("ConditionCaptionDataset", "RandomConditionDataset",
              "KeywordProbCaptionDataset", "KeywordProbInferenceDataset",
              "TemporalTagCaptionDataset", "TemporalTagInferenceDataset"):
@@ -122,7 +130,17 @@ def build_dataloader(data_cfg: Dict, tokenizer=None, train: bool = True):
     dataset = build_dataset(data_cfg["dataset"])
     collate = build_collate(data_cfg["collate_fn"], tokenizer)
     dl_args = dict(data_cfg.get("dataloader_args", {}) or {})
+    num_samples = dl_args.pop("num_samples", None)
     dl_args.setdefault("batch_size", 32)
+    if train and num_samples:
+        # fixed-#samples-per-epoch with wraparound shuffle (reference
+        # IterationBatchSampler, caption_dataset.py:390-436)
+        from audiocaption_tpu.data.kd_dataset import IterationBatchSampler
+        sampler = IterationBatchSampler(
+            dataset, dl_args.pop("batch_size"), num_samples,
+            shuffle=dl_args.pop("shuffle", True))
+        return DataLoader(dataset, collate_fn=collate,
+                          batch_sampler=sampler, **dl_args)
     if not train:
         dl_args["shuffle"] = False
     return DataLoader(dataset, collate_fn=collate,
@@ -1046,6 +1064,39 @@ class Runner:
                     f.write(f"{k}: {v:.4f}\n")
         return result
 
+    def export_hf(self, experiment_path: str, output: str,
+                  resume: str = "swa.pth") -> str:
+        """Export a trained EffB2+Trm experiment into the reference's
+        HF checkpoint format (hf_wrapper.py:1144-1160 key naming), so
+        the weights load in the reference's own
+        ``Effb2TrmCaptioningModel`` / this repo's hf_api.  Inverse of
+        the ingestion converters (models/export.py); the roundtrip is
+        token-parity-tested (tests/test_hf_checkpoint_io.py)."""
+        import torch
+
+        from audiocaption_tpu.models.effb2 import EfficientNetB2
+        from audiocaption_tpu.models.export import effb2_trm_hf_state_dict
+        from audiocaption_tpu.models.transformer_decoder import (
+            TransformerDecoder)
+        cfg, model, variables, tokenizer = self._load_experiment(
+            experiment_path, resume)
+        if not (isinstance(model.encoder, EfficientNetB2)
+                and type(model.decoder) is TransformerDecoder):
+            raise ValueError(
+                "export_hf supports the EffB2+TransformerDecoder family "
+                "(the HF zoo format, hf_wrapper.py:1115-1181); got "
+                f"{type(model.encoder).__name__}+"
+                f"{type(model.decoder).__name__}")
+        sd = effb2_trm_hf_state_dict(
+            variables, nlayers=model.decoder.nlayers,
+            tie_weights=model.decoder.tie_weights)
+        out_path = Path(output)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        torch.save({k: torch.as_tensor(v) for k, v in sd.items()},
+                   out_path)
+        print(f"exported {len(sd)} tensors to {out_path}")
+        return str(out_path)
+
     # ----------------------------------------------------- SED/temporal --
 
     def train_sed(self, config: str, *overrides) -> str:
@@ -1436,6 +1487,10 @@ def main(argv=None):
         p = sub.add_parser(name)
         p.add_argument("--eval_config", required=True)
         p.add_argument("overrides", nargs="*")
+    p = sub.add_parser("export_hf")
+    p.add_argument("--experiment_path", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--resume", default="swa.pth")
 
     args = parser.parse_args(argv)
     runner = Runner()
@@ -1469,6 +1524,9 @@ def main(argv=None):
         print(runner.ensemble_evaluate(args.eval_config, *args.overrides))
     elif args.command == "dcase_predict":
         runner.dcase_predict(args.eval_config, *args.overrides)
+    elif args.command == "export_hf":
+        runner.export_hf(args.experiment_path, args.output,
+                         resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from audiocaption_tpu.models.captioner import Captioner
 from audiocaption_tpu.models.encoders_extra import (
     TransformerEncoderLayerTorch)
 from audiocaption_tpu.models.layers import LayerNorm, torch_linear_init
@@ -37,7 +38,7 @@ class TextRefEncoder(nn.Module):
     @nn.compact
     def __call__(self, cap: Array, cap_len: Array,
                  train: bool = False) -> Array:
-        nhead = self.nhead or self.d_model // 64
+        nhead = self.nhead or max(1, self.d_model // 64)
         emb = nn.Embed(self.vocab_size, self.d_model,
                        embedding_init=nn.initializers.xavier_uniform(),
                        name="word_embedding")(cap)
@@ -79,3 +80,42 @@ class StyleBank(nn.Module):
 
     def __call__(self, ref_emb: Array) -> Array:
         return self.from_reference(ref_emb)
+
+
+class StyleCaptioner(Captioner):
+    """StyleCaptionModel (style_model.py:62-91): during training the
+    style vector is inferred from the reference caption (TextRefEncoder
+    CLS embedding attending over the StyleBank); at inference the user
+    supplies a ``style_weight`` mixture over the bank, turned into the
+    style vector by :meth:`style_of_weight` and passed to generate() as
+    ``cond_kwargs={"style": vec}``.  The decoder must be a
+    StyleBahAttnDecoder (its fc slot consumes the style vector,
+    rnn_decoder.py:412-466)."""
+    ref_encoder: Optional[nn.Module] = None
+    style_bank: Optional[nn.Module] = None
+
+    def __call__(self, wav: Array, wav_len: Array, cap: Array,
+                 cap_len: Array, ss_ratio: float = 1.0,
+                 train: bool = True, specaug: bool = False,
+                 temporal_tag: Optional[Array] = None,
+                 cond_kwargs: Optional[Dict[str, Array]] = None,
+                 ss_impl: str = "cached") -> Dict[str, Array]:
+        cond = dict(cond_kwargs or {})
+        if "style" not in cond:
+            # style inferred from the reference caption (training path,
+            # style_model.py:70-80); strip <bos> like the reference's
+            # ref_encoder input (cap[:, 1:])
+            ref_emb = self.ref_encoder(cap[:, 1:],
+                                       jnp.maximum(cap_len - 1, 1),
+                                       train=train)
+            cond["style"] = self.style_bank.from_reference(ref_emb)
+        return super().__call__(wav, wav_len, cap, cap_len,
+                                ss_ratio=ss_ratio, train=train,
+                                specaug=specaug,
+                                temporal_tag=temporal_tag,
+                                cond_kwargs=cond, ss_impl=ss_impl)
+
+    def style_of_weight(self, style_weight: Array) -> Array:
+        """[N, n_styles] user mixture -> [N, style_dim] style vector
+        (apply with method=StyleCaptioner.style_of_weight)."""
+        return self.style_bank.from_weight(style_weight)

@@ -329,6 +329,28 @@ def build_model_from_config(model_cfg: Dict,
     if dec_cfg.get("pretrained"):
         pretrained.append(("decoder", dec_cfg["pretrained"], "decoder"))
 
+    model_type = _short(model_cfg.get("type", ""))
+    if model_type in ("StyleCaptionModel", "StyleSeq2SeqAttnModel"):
+        # style bank + reference-caption encoder wrapper
+        # (style_model.py:62-91); style vector dim = decoder emb_dim
+        # (the StyleBahAttnDecoder fc slot, rnn_decoder.py:412-466)
+        from audiocaption_tpu.models.style import (
+            StyleBank, StyleCaptioner, TextRefEncoder)
+        style_args = dict(model_cfg.get("style", {}).get("args", {}) or {})
+        emb_dim = decoder.emb_dim
+        captioner = StyleCaptioner(
+            encoder=encoder, decoder=decoder, mel=mel,
+            special=SpecialTokens(), input_mode=input_mode,
+            ref_encoder=TextRefEncoder(
+                vocab_size=vocab,
+                d_model=style_args.get("ref_d_model", emb_dim),
+                nlayers=style_args.get("ref_nlayers", 2),
+                dropout=style_args.get("ref_dropout", 0.2)),
+            style_bank=StyleBank(
+                n_styles=style_args.get("n_styles", 4),
+                style_dim=emb_dim))
+        return captioner, pretrained
+
     captioner = Captioner(encoder=encoder, decoder=decoder, mel=mel,
                           special=SpecialTokens(), input_mode=input_mode)
     return captioner, pretrained

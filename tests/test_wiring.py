@@ -1,0 +1,239 @@
+"""Production wiring of previously test-only modules (round-5: the
+orphan check in test_no_orphan_modules.py enforces these stay wired):
+
+  * loss wrappers through build_loss (reference loss.py:77-219)
+  * style model through build_model_from_config (style_model.py:62-91)
+  * augment transform chains through build_dataset
+    (caption_dataset.py:38-49)
+  * KD dual-rate datasets + IterationBatchSampler through
+    build_dataset/build_dataloader (caption_dataset.py:230-436)
+  * PANNs classifiers through prepare_features (panns feature/tagging
+    extraction, prepare_pretrained_features/panns.py)
+  * export_hf CLI (models/export.py -> the HF zoo checkpoint format)
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+# ------------------------------------------------------------- losses --
+
+def _fake_output(N=2, T=5, V=11, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "logit": jnp.asarray(rng.randn(N, T, V).astype(np.float32)),
+        "tgt": jnp.asarray(rng.randint(0, V, (N, T))),
+        "tgt_len": jnp.asarray([T, T - 2]),
+    }
+
+
+def test_build_loss_multiple_loss_sum():
+    from audiocaption_tpu.losses import build_loss
+    out = _fake_output()
+    base = build_loss({"type": "CrossEntropyLoss"})
+    combo = build_loss({"type": "MultipleLossSum", "args": {
+        "losses": [{"type": "CrossEntropyLoss"},
+                   {"type": "LabelSmoothingLoss",
+                    "args": {"smoothing": 0.1}}],
+        "weights": [0.5, 2.0]}})
+    ls = build_loss({"type": "LabelSmoothingLoss",
+                     "args": {"smoothing": 0.1}})
+    want = 0.5 * float(base(out)) + 2.0 * float(ls(out))
+    assert float(combo(out)) == pytest.approx(want, rel=1e-6)
+
+
+def test_build_loss_augment_wrapper_discounts():
+    from audiocaption_tpu.losses import build_loss
+    fn = build_loss({"type": "AugmentLossWrapper",
+                     "args": {"loss": {"type": "CrossEntropyLoss"}}})
+    out = _fake_output()
+    out["aug_keep"] = jnp.asarray([1.0, 1.0])
+    base = build_loss({"type": "CrossEntropyLoss"})
+    # keep-all == plain mean loss
+    assert float(fn(out)) == pytest.approx(float(base(out)), rel=1e-6)
+    # dropping row 1 == loss over row 0 only
+    out["aug_keep"] = jnp.asarray([1.0, 0.0])
+    solo = {k: v[:1] for k, v in _fake_output().items()}
+    assert float(fn(out)) == pytest.approx(float(base(solo)), rel=1e-6)
+
+
+def test_build_loss_condition_wrapper_with_dscrm_config():
+    from audiocaption_tpu.losses import build_loss
+    fn = build_loss({"type": "ConditionLossWrapper", "args": {
+        "loss": {"type": "CrossEntropyLoss"},
+        "alpha": 0.5, "sample_method": "argmax",
+        "dscrm": {"vocab_size": 11, "emb_dim": 8, "hidden_size": 8}}})
+    out = _fake_output()
+    out["conditions"] = jnp.asarray([1.0, 0.0])
+    base = build_loss({"type": "CrossEntropyLoss"})
+    total = float(fn(out))
+    assert total > float(base(out))     # BCE term added
+    assert np.isfinite(total)
+
+
+def test_build_loss_specificity_wrapper(tmp_path):
+    from audiocaption_tpu.losses import build_loss
+    V = 11
+    ws = np.linspace(0.0, 1.0, V).astype(np.float32)
+    p = tmp_path / "ws.npy"
+    np.save(p, ws)
+    fn = build_loss({"type": "SpecificityLossWrapper", "args": {
+        "loss": {"type": "CrossEntropyLoss"},
+        "word_specificity": str(p), "alpha": 2.0}})
+    out = _fake_output(V=V)
+    out["conditions"] = jnp.asarray([0.3, 0.7])
+    base = build_loss({"type": "CrossEntropyLoss"})
+    assert float(fn(out)) > float(base(out))
+
+
+# -------------------------------------------------------------- style --
+
+def test_style_caption_model_from_config_train_and_infer():
+    from audiocaption_tpu.models.style import StyleCaptioner
+    from audiocaption_tpu.utils.config import build_model_from_config
+    cfg = {
+        "type": "StyleCaptionModel",
+        "style": {"args": {"n_styles": 3, "ref_nlayers": 1}},
+        "encoder": {"type": "Cnn6Encoder", "args": {}},
+        "decoder": {"type": "StyleBahAttnDecoder",
+                    "args": {"emb_dim": 16, "d_model": 24}},
+    }
+    model, _ = build_model_from_config(cfg, vocab_size=23)
+    assert isinstance(model, StyleCaptioner)
+    wav = jnp.asarray(np.random.RandomState(0).randn(2, 32000),
+                      jnp.float32)
+    wl = jnp.asarray([32000, 20000])
+    cap = jnp.asarray([[1, 5, 6, 2], [1, 7, 2, 0]], jnp.int32)
+    cl = jnp.asarray([4, 3])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        wav, wl, cap, cl, train=False)
+    # training forward: style inferred from the reference caption
+    out = model.apply(variables, wav, wl, cap, cl, ss_ratio=1.0,
+                      train=False,
+                      rngs={"sample": jax.random.PRNGKey(2)})
+    assert out["logit"].shape == (2, 3, 23)
+    # inference: user style weight over the bank -> cond_kwargs
+    from audiocaption_tpu.models.captioner import generate
+    sw = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.5, 0.5]])
+    style = model.apply(variables, sw,
+                        method=StyleCaptioner.style_of_weight)
+    assert style.shape == (2, 16)
+    seq = generate(model, variables, wav, wl, sample_method="greedy",
+                   max_length=5, cond_kwargs={"style": style})["seq"]
+    assert seq.shape == (2, 5)
+    # a different style mixture can change the decode
+    style2 = model.apply(variables, jnp.asarray([[0.0, 0.0, 1.0],
+                                                 [1.0, 0.0, 0.0]]),
+                         method=StyleCaptioner.style_of_weight)
+    assert not np.allclose(np.asarray(style), np.asarray(style2))
+
+
+# --------------------------------------------------------------- data --
+
+def _tiny_corpus(tmp_path, n=4, sr=16000):
+    import h5py
+    h5 = tmp_path / "wav.h5"
+    rng = np.random.RandomState(0)
+    with h5py.File(h5, "w") as f:
+        for i in range(n):
+            f[f"aud{i}"] = rng.randn(sr).astype(np.float32)
+    csv = tmp_path / "wav.csv"
+    with open(csv, "w") as f:
+        f.write("audio_id\thdf5_path\n")
+        for i in range(n):
+            f.write(f"aud{i}\t{h5}\n")
+    cap = tmp_path / "text.json"
+    json.dump({"audios": [
+        {"audio_id": f"aud{i}",
+         "captions": [{"caption": "a dog barks", "cap_id": "1"}]}
+        for i in range(n)]}, open(cap, "w"))
+    return csv, cap
+
+
+def test_build_dataset_attaches_augment_transforms(tmp_path):
+    from audiocaption_tpu.cli.run import build_dataset
+    csv, cap = _tiny_corpus(tmp_path)
+    ds = build_dataset({"type": "CaptionDataset", "args": {
+        "features": {"wav": str(csv)}, "caption": str(cap),
+        "transforms": [{"type": "gaussian_noise",
+                        "args": {"snr_db": 20.0}}]}})
+    assert len(ds.transforms) == 1
+    item = ds[0]
+    # transform actually ran: noise changes the waveform
+    plain = build_dataset({"type": "CaptionDataset", "args": {
+        "features": {"wav": str(csv)}, "caption": str(cap)}})
+    assert not np.allclose(item["wav"], plain[0]["wav"])
+
+
+def test_build_dataset_kd_and_iteration_sampler(tmp_path):
+    from audiocaption_tpu.cli.run import build_dataloader, build_dataset
+    from audiocaption_tpu.data.tokenizer import build_vocab
+    csv, cap = _tiny_corpus(tmp_path)
+    ds = build_dataset({"type": "CaptionKdDataset", "args": {
+        "features": {"wav": str(csv)}, "caption": str(cap),
+        "orig_sr": 16000, "target_sr": 16000,
+        "teacher_target_sr": 32000, "audio_duration": 0.5,
+        "teacher_duration": 0.5}})
+    item = ds[0]
+    assert item["wav"].shape == (8000,)
+    assert item["teacher_wav"].shape == (16000,)   # aligned dual rate
+
+    tok = build_vocab(str(cap))
+    loader = build_dataloader({
+        "dataset": {"type": "CaptionKdDataset", "args": {
+            "features": {"wav": str(csv)}, "caption": str(cap),
+            "orig_sr": 16000, "target_sr": 16000,
+            "teacher_target_sr": 16000}},
+        "collate_fn": {"type": "TextCollate",
+                       "args": {"pad_keys": ["wav", "teacher_wav"]}},
+        "dataloader_args": {"batch_size": 3, "num_samples": 7,
+                            "num_workers": 0},
+    }, tokenizer=tok, train=True)
+    batches = list(loader)
+    # IterationBatchSampler: 7 samples -> batches of 3/3/1 (wraparound)
+    assert [len(b["cap"]) for b in batches] == [3, 3, 1]
+    assert "teacher_wav" in batches[0]
+
+
+# -------------------------------------------------------------- panns --
+
+def test_prepare_features_panns_classifier(tmp_path):
+    from audiocaption_tpu.cli.prepare_features import main
+    import h5py
+    csv, _ = _tiny_corpus(tmp_path, n=2, sr=32000)
+    out_dir = tmp_path / "feats"
+    main(["--wav_csv", str(csv), "--output_dir", str(out_dir),
+          "--encoder", "panns_cnn10", "--batch_size", "2"])
+    with h5py.File(out_dir / "probs.h5") as f:
+        probs = f["aud0"][()]
+        assert probs.shape == (527,)
+        assert (probs >= 0).all() and (probs <= 1).all()
+    with h5py.File(out_dir / "attn.h5") as f:
+        assert f["aud0"][()].shape[-1] == 512      # Cnn10 feature dim
+    assert (out_dir / "attn.csv").exists()
+
+
+# ---------------------------------------------------------- export_hf --
+
+def test_export_hf_cli_errors_on_unsupported_family(tmp_path,
+                                                    monkeypatch):
+    """The CLI guards non-EffB2 experiments with a clear error (the HF
+    zoo format is the EffB2+Trm key space)."""
+    from audiocaption_tpu.cli import run as R
+
+    class _FakeRunnerModel:
+        encoder = object()
+        decoder = object()
+
+    def fake_load(self, experiment_path, resume):
+        return {}, _FakeRunnerModel(), {}, None
+
+    monkeypatch.setattr(R.Runner, "_load_experiment", fake_load)
+    with pytest.raises(ValueError, match="EffB2"):
+        R.Runner().export_hf("exp", str(tmp_path / "o.bin"))
