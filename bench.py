@@ -194,16 +194,25 @@ def main():
             print(f"B={B} failed: {type(e).__name__}", file=sys.stderr)
             break
 
-    # fused-greedy kernel path (whole decode loop in one Pallas kernel)
+    # fused-greedy kernel path (whole decode loop in one Pallas kernel).
+    # Each B gets its own try: one failing batch size must not silently
+    # drop the remaining configs from the record (a B=128 compile
+    # failure once hid every fused-beam row of a capture).
     try:
         from audiocaption_tpu.decoding.fused_greedy import FusedGreedyDecoder
         fd = FusedGreedyDecoder(model, variables, max_length=20)
-        for B in ((256, 512, 1024) if small else (128, 256, 512)):
-            record(f"fused_greedy_b{B}", B, lambda w, l: fd(w, l),
-                   make_batch(B))
     except Exception as e:
         print(f"fused greedy failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+        fd = None
+    if fd is not None:
+        for B in ((256, 512, 1024) if small else (128, 256, 512)):
+            try:
+                record(f"fused_greedy_b{B}", B, lambda w, l: fd(w, l),
+                       make_batch(B))
+            except Exception as e:
+                print(f"fused greedy B={B} failed: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
 
     # fused beam-3 kernel (the reference's DEFAULT decode, base.py:88-98,
     # as one Pallas kernel; token-identical to the XLA engine)
@@ -212,12 +221,18 @@ def main():
         fb = FusedBeamDecoder(model, variables, max_length=20,
                               beam_size=3)   # bf16 model -> bf16 caches,
         # kernel batch 128 (f32 caches cap it at 64)
-        for B in ((256, 512, 1024) if small else (64, 128, 256, 512)):
-            record(f"fused_beam3_b{B}", B, lambda w, l: fb(w, l),
-                   make_batch(B))
     except Exception as e:
         print(f"fused beam failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+        fb = None
+    if fb is not None:
+        for B in ((256, 512, 1024) if small else (64, 128, 256, 512)):
+            try:
+                record(f"fused_beam3_b{B}", B, lambda w, l: fb(w, l),
+                       make_batch(B))
+            except Exception as e:
+                print(f"fused beam B={B} failed: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
 
     # diagnostics
     try:
