@@ -6,9 +6,15 @@ beam search (beam 3, max_length 20), bfloat16 encoder compute.
 
 Prints ONE JSON line:
   {"metric": "clips_per_sec_per_chip", "value": N, "unit": "clips/s",
-   "vs_baseline": null, ...}
-``vs_baseline`` is null because the reference repo publishes no
-benchmark numbers (BASELINE.json "published": {}).
+   "vs_baseline": N, ...}
+The reference repo publishes no benchmark numbers (BASELINE.json
+"published": {}), so ``vs_baseline`` is derived against a measured
+UPPER bound on the reference's A100 beam-3 throughput
+(results/reference_floor.json, produced by bench_reference_floor.py:
+the reference's per-sample Python beam loop dispatches 3,203 torch ops
+per clip — a >=12.8 ms/clip host floor at 4 us/launch that no GPU can
+remove).  vs_baseline = our best beam-3 clips/s / that ceiling, i.e. a
+LOWER bound on the true speedup.  Full derivation in PERF.md.
 
 Extra diagnostics (greedy throughput, p50 single-clip latency) go to
 stderr.
@@ -279,11 +285,40 @@ def main():
         print(f"mfu estimate failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # vs_baseline: our best beam-3 config against the derived ceiling
+    # on reference-on-A100 beam-3 throughput (see module docstring).
+    vs_baseline = None
+    vs_basis = None
+    floor_path = Path(__file__).resolve().parent / "results" / \
+        "reference_floor.json"
+    try:
+        with open(floor_path) as f:
+            floor = json.load(f)
+        ref_bound = floor["bound"][
+            "reference_a100_beam3_clips_per_s_upper_bound"]
+        beam_cfgs = {k: v["clips_per_sec"]
+                     for k, v in config_stats.items() if "beam" in k}
+        if beam_cfgs and ref_bound:
+            best_beam_cfg = max(beam_cfgs, key=beam_cfgs.get)
+            vs_baseline = round(beam_cfgs[best_beam_cfg] / ref_bound, 1)
+            vs_basis = {
+                "ours": best_beam_cfg,
+                "ours_clips_per_s": beam_cfgs[best_beam_cfg],
+                "reference_a100_beam3_ceiling_clips_per_s": ref_bound,
+                "kind": "lower bound (reference ceiling is one-sided "
+                        "in its favor)",
+                "derivation": floor["bound"]["derivation"],
+            }
+    except Exception as e:
+        print(f"vs_baseline unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "clips_per_sec_per_chip",
         "value": round(best, 2),
         "unit": "clips/s",
-        "vs_baseline": None,
+        "vs_baseline": vs_baseline,
+        "vs_baseline_basis": vs_basis,
         "workload": (
             "batched 10s 32kHz clips, Cdur5+Trm 1.0M-param KD student "
             "len20 (best of XLA beam-3 / fused greedy / fused beam-3 "
