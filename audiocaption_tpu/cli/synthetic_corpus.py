@@ -123,9 +123,10 @@ TEMPLATES_2 = [
 
 
 def synth_clip(rng: np.random.RandomState, events: List[int], sr: int,
-               duration: float) -> np.ndarray:
+               duration: float, events_table=None) -> np.ndarray:
     """Events fill sequential segments with short silence gaps; levels
     are randomized mildly so amplitude is not a caption cue."""
+    table = EVENTS if events_table is None else events_table
     n = int(sr * duration)
     wav = rng.randn(n).astype(np.float32) * 0.003  # noise floor
     n_ev = len(events)
@@ -134,8 +135,9 @@ def synth_clip(rng: np.random.RandomState, events: List[int], sr: int,
         start = i * seg + rng.uniform(0.1, 0.4)
         end = (i + 1) * seg - rng.uniform(0.1, 0.4)
         s, e = int(start * sr), int(end * sr)
+        e = max(e, s + int(0.05 * sr))          # tiny-duration floor
         t = np.arange(e - s, dtype=np.float32) / sr
-        x = EVENTS[ev][1](rng, t, sr)
+        x = table[ev][1](rng, t, sr)
         gain = rng.uniform(0.25, 0.6)
         wav[s:e] += x * _ramp(e - s, sr) * gain
     peak = np.abs(wav).max()
@@ -381,6 +383,194 @@ def generate(output_dir: str, n_train: int = 2000, n_val: int = 200,
     return paths
 
 
+# ------------------------------------------------------------- corpus v2 --
+# Quality-headroom corpus (round 5): v1 saturated (every trained family
+# hits BLEU-4 = 1.0 and the same consensus CIDEr, so quality claims
+# stopped carrying information).  v2 restores discrimination with four
+# levers:
+#   * 16 event types including acoustically CONFUSABLE pairs (nearby
+#     sine frequencies, overlapping chirp ranges, two noise colors, two
+#     pulse rates) — models genuinely err;
+#   * per-reference SYNONYM sampling: each of the 5 references names an
+#     event with an independently drawn synonym, so exact n-gram
+#     metrics cannot saturate and CIDEr rewards consensus phrasing;
+#   * up to 3 sequential events (larger output space, longer captions);
+#   * annotator noise: an arity-3 reference drops one non-leading event
+#     with p=0.25 (real caption datasets disagree on coverage).
+
+
+def _am_tone(f, rate):
+    def synth(rng, t, sr):
+        carrier = np.sin(2 * np.pi * f * t)
+        env = 0.55 + 0.45 * np.sin(2 * np.pi * rate * t)
+        return (carrier * env).astype(np.float32)
+    return synth
+
+
+def _clicks(rng, t, sr):
+    y = np.zeros(len(t), np.float32)
+    step = int(0.25 * sr)
+    for s in range(0, len(t) - 64, step):
+        y[s:s + 64] = rng.uniform(0.8, 1.0) * np.hanning(64)
+    return y
+
+
+def _buzz(rng, t, sr):
+    # harmonic-rich quasi-sawtooth at 110 Hz
+    y = sum(np.sin(2 * np.pi * 110.0 * (h + 1) * t) / (h + 1)
+            for h in range(8))
+    return (y / 2.0).astype(np.float32)
+
+
+def _hiss(rng, t, sr):
+    x = rng.randn(len(t) + 64).astype(np.float32)
+    # crude high-pass: first difference, repeated
+    for _ in range(2):
+        x = np.diff(x)
+    y = x[: len(t)]
+    return (y / (np.std(y) + 1e-8) * 0.5).astype(np.float32)
+
+
+def _pips(rng, t, sr):
+    gate = (np.sin(2 * np.pi * 1.6 * t) > 0.6).astype(np.float32)
+    return (np.sin(2 * np.pi * 800.0 * t) * gate).astype(np.float32)
+
+
+# (synonym phrases, synth) — the FIRST synonym is the canonical one
+# (drawn with higher probability, so consensus phrasing exists for
+# CIDEr to reward).
+EVENTS_V2: List[Tuple[Tuple[str, ...], object]] = [
+    (("low tone", "deep tone", "bass tone"), _sine(220.0)),
+    (("low hum", "soft hum"), _sine(150.0)),                 # ~ low tone
+    (("high whistle", "shrill whistle"), _sine(2600.0)),
+    (("piercing tone", "sharp tone"), _sine(3100.0)),        # ~ whistle
+    (("rising siren", "upward siren"), _chirp(400.0, 1600.0)),
+    (("falling siren", "downward siren"), _chirp(1600.0, 400.0)),
+    (("slow sweep", "gentle sweep"), _chirp(700.0, 1100.0)),  # ~ sirens
+    (("static noise", "white noise", "harsh static"), _noise),
+    (("deep rumble", "low rumble"), _rumble),                # ~ noise/hum
+    (("quick beeps", "rapid beeps"), _beeps),
+    (("slow pips", "steady pips"), _pips),                   # ~ beeps
+    (("bright chime", "ringing chime"), _chime),
+    (("warbling tone", "wavering tone"), _am_tone(900.0, 5.0)),
+    (("ticking clicks", "sharp clicks"), _clicks),
+    (("buzzing drone", "rough buzz"), _buzz),
+    (("soft hiss", "faint hiss"), _hiss),                    # ~ static
+]
+
+TEMPLATES_V2_1 = [
+    "a {a} is heard",
+    "the sound of a {a}",
+    "a {a} sounds steadily",
+    "someone hears a {a}",
+    "a {a} plays alone",
+    "only a {a} can be heard",
+]
+
+TEMPLATES_V2_2 = [
+    "a {a} is followed by a {b}",
+    "a {a} and then a {b}",
+    "first a {a} then a {b}",
+    "a {b} comes after a {a}",
+    "a {a} sounds before a {b}",
+    "after a {a} a {b} is heard",
+    "a {a} gives way to a {b}",
+]
+
+TEMPLATES_V2_3 = [
+    "a {a} then a {b} and finally a {c}",
+    "a {a} is followed by a {b} and then a {c}",
+    "first a {a} then a {b} and last a {c}",
+    "a {a} a {b} and a {c} sound one after another",
+    "after a {a} and a {b} a {c} is heard",
+    "a {c} comes after a {a} and a {b}",
+]
+
+
+def sample_events_v2(rng: np.random.RandomState) -> List[int]:
+    r = rng.rand()
+    arity = 1 if r < 0.25 else (2 if r < 0.65 else 3)
+    return [int(x) for x in
+            rng.choice(len(EVENTS_V2), arity, replace=False)]
+
+
+def _synonym(rng: np.random.RandomState, ev: int) -> str:
+    """Canonical synonym with p=0.6, the rest uniform."""
+    syns = EVENTS_V2[ev][0]
+    if len(syns) == 1 or rng.rand() < 0.6:
+        return syns[0]
+    return syns[1 + int(rng.randint(len(syns) - 1))]
+
+
+def captions_for_v2(rng: np.random.RandomState,
+                    events: List[int]) -> List[str]:
+    """5 references; each independently samples synonyms + a template,
+    and an arity-3 reference may drop one non-leading event (annotator
+    coverage noise)."""
+    caps = []
+    for _ in range(5):
+        evs = list(events)
+        if len(evs) == 3 and rng.rand() < 0.25:
+            del evs[1 + int(rng.randint(2))]     # drop b or c, keep order
+        phrases = [_synonym(rng, e) for e in evs]
+        temps = (TEMPLATES_V2_1, TEMPLATES_V2_2,
+                 TEMPLATES_V2_3)[len(evs) - 1]
+        temp = temps[int(rng.randint(len(temps)))]
+        fills = dict(zip("abc", phrases))
+        caps.append(temp.format(**fills))
+    return caps
+
+
+def generate_v2(output_dir: str, n_train: int = 3000, n_val: int = 300,
+                n_test: int = 300, sr: int = 16000,
+                duration: float = 10.0, seed: int = 0
+                ) -> Dict[str, Dict[str, str]]:
+    """Write the v2 corpus (same artifact layout as generate())."""
+    import h5py
+
+    from audiocaption_tpu.data.tokenizer import DictTokenizer
+
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    sizes = {"train": n_train, "val": n_val, "test": n_test}
+    paths: Dict[str, Dict[str, str]] = {}
+    train_caps: List[str] = []
+    for si, (split, n) in enumerate(sizes.items()):
+        rng = np.random.RandomState(31000 + seed * 1000 + si)
+        h5p = out / f"{split}_waveform.h5"
+        audios = []
+        with h5py.File(h5p, "w") as f, \
+                open(out / f"{split}_wav.csv", "w") as csv:
+            csv.write("audio_id\thdf5_path\n")
+            for i in range(n):
+                aid = f"syn2_{split}_{i:05d}"
+                events = sample_events_v2(rng)
+                wav = synth_clip(rng, events, sr, duration,
+                                 events_table=EVENTS_V2)
+                f[aid] = wav.astype(np.float16)
+                csv.write(f"{aid}\t{h5p}\n")
+                caps = captions_for_v2(rng, events)
+                audios.append({"audio_id": aid, "captions": [
+                    {"tokens": c, "caption": c.capitalize() + ".",
+                     "cap_id": str(j)} for j, c in enumerate(caps)]})
+                if split == "train":
+                    train_caps.extend(caps)
+        with open(out / f"{split}_text.json", "w") as f:
+            json.dump({"audios": audios}, f)
+        paths[split] = {"wav_csv": str(out / f"{split}_wav.csv"),
+                        "text": str(out / f"{split}_text.json"),
+                        "h5": str(h5p)}
+
+    tok = DictTokenizer()
+    for c in train_caps:
+        for w in c.split():
+            tok.add_word(w)
+    with open(out / "vocab.pkl", "wb") as f:
+        pickle.dump(tok.state_dict(), f)
+    paths["vocab"] = {"vocab": str(out / "vocab.pkl")}
+    return paths
+
+
 def ceiling(text_json: str, n_audios: int = 0) -> Dict[str, float]:
     """Round-robin inter-annotator score ceiling on a split
     (eval_round_robin.py:52-108 semantics via metrics/tools.py)."""
@@ -408,6 +598,14 @@ def main(argv=None):
     g.add_argument("--sr", type=int, default=16000)
     g.add_argument("--duration", type=float, default=10.0)
     g.add_argument("--seed", type=int, default=0)
+    g2 = sub.add_parser("generate_v2")
+    g2.add_argument("output_dir")
+    g2.add_argument("--n_train", type=int, default=3000)
+    g2.add_argument("--n_val", type=int, default=300)
+    g2.add_argument("--n_test", type=int, default=300)
+    g2.add_argument("--sr", type=int, default=16000)
+    g2.add_argument("--duration", type=float, default=10.0)
+    g2.add_argument("--seed", type=int, default=0)
     gt = sub.add_parser("generate_temporal")
     gt.add_argument("output_dir")
     gt.add_argument("--n_train", type=int, default=2000)
@@ -423,6 +621,11 @@ def main(argv=None):
     if args.command == "generate":
         paths = generate(args.output_dir, args.n_train, args.n_val,
                          args.n_test, args.sr, args.duration, args.seed)
+        print(json.dumps(paths, indent=1))
+    elif args.command == "generate_v2":
+        paths = generate_v2(args.output_dir, args.n_train, args.n_val,
+                            args.n_test, args.sr, args.duration,
+                            args.seed)
         print(json.dumps(paths, indent=1))
     elif args.command == "generate_temporal":
         paths = generate_temporal(args.output_dir, args.n_train,
