@@ -82,8 +82,16 @@ def build_dataset(cfg: Dict):
     t = _short(cfg["type"])
     args = dict(cfg.get("args", {}) or {})
     # per-item transform chains from the augment registry (reference
-    # caption_dataset.py:38-49): [{type: gaussian_noise, args: {...}}]
+    # caption_dataset.py:38-49): either a flat list
+    # [{type: gaussian_noise, args: {...}}] or the reference's
+    # per-feat-type dict {wav: [specs...]} (Null chains allowed)
     tf_specs = args.pop("transforms", None)
+    if isinstance(tf_specs, dict):
+        merged = []
+        for chain in tf_specs.values():
+            if chain:
+                merged.extend(chain)
+        tf_specs = merged
     if tf_specs:
         from audiocaption_tpu.data.augment import build_transforms
         args["transforms"] = build_transforms(tf_specs)

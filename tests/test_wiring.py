@@ -169,6 +169,16 @@ def test_build_dataset_attaches_augment_transforms(tmp_path):
     plain = build_dataset({"type": "CaptionDataset", "args": {
         "features": {"wav": str(csv)}, "caption": str(cap)}})
     assert not np.allclose(item["wav"], plain[0]["wav"])
+    # reference-style per-feat-type dict form, incl. Null chains
+    ds2 = build_dataset({"type": "CaptionDataset", "args": {
+        "features": {"wav": str(csv)}, "caption": str(cap),
+        "transforms": {"wav": None}}})
+    assert ds2.transforms == []
+    ds3 = build_dataset({"type": "CaptionDataset", "args": {
+        "features": {"wav": str(csv)}, "caption": str(cap),
+        "transforms": {"wav": [{"type": "gaussian_noise",
+                                 "args": {"snr_db": 20.0}}]}}})
+    assert len(ds3.transforms) == 1
 
 
 def test_build_dataset_kd_and_iteration_sampler(tmp_path):
