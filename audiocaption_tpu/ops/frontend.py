@@ -215,10 +215,20 @@ class LogMelFrontend:
                  use_pallas: Optional[bool] = None):
         self.config = config
         self.compute_dtype = compute_dtype
-        if use_pallas is None:
-            use_pallas = (jax.default_backend() != "cpu"
-                          and config.sample_rate == 32000)
-        self.use_pallas = bool(use_pallas)
+        self.use_pallas = use_pallas           # None = resolve per call
+
+    def _resolve_pallas(self) -> bool:
+        if self.use_pallas is not None:
+            return bool(self.use_pallas)
+        if self.config.sample_rate != 32000:
+            return False
+        if jax.default_backend() == "cpu":
+            return False
+        # model init runs under jax.default_device(cpu) even on TPU
+        # hosts (fast local compiles); Pallas cannot compile there
+        dd = jax.config.jax_default_device
+        return not (dd is not None and getattr(dd, "platform", "")
+                    == "cpu")
         window = hann_window(config.n_fft)
         self._basis = _dft_basis(config.n_fft, window)          # [n_fft, 2F]
         self._mel_fb = mel_filterbank(
@@ -259,7 +269,7 @@ class LogMelFrontend:
 
     def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
         """[B, T] -> log-mel [B, n_frames, n_mels] (float32)."""
-        if self.use_pallas:
+        if self._resolve_pallas():
             from audiocaption_tpu.ops.pallas_logmel import pallas_logmel
             return pallas_logmel(wav, self.config)
         power = self.power_spectrogram(wav)
