@@ -216,6 +216,17 @@ class LogMelFrontend:
         self.config = config
         self.compute_dtype = compute_dtype
         self.use_pallas = use_pallas           # None = resolve per call
+        window = hann_window(config.n_fft)
+        self._basis = _dft_basis(config.n_fft, window)          # [n_fft, 2F]
+        self._mel_fb = mel_filterbank(
+            n_freqs=config.n_fft // 2 + 1,
+            f_min=config.f_min,
+            f_max=config.effective_f_max,
+            n_mels=config.n_mels,
+            sample_rate=config.sample_rate,
+            norm=config.norm,
+            mel_scale=config.mel_scale,
+        )                                                        # [F, n_mels]
 
     def _resolve_pallas(self) -> bool:
         if self.use_pallas is not None:
@@ -229,17 +240,6 @@ class LogMelFrontend:
         dd = jax.config.jax_default_device
         return not (dd is not None and getattr(dd, "platform", "")
                     == "cpu")
-        window = hann_window(config.n_fft)
-        self._basis = _dft_basis(config.n_fft, window)          # [n_fft, 2F]
-        self._mel_fb = mel_filterbank(
-            n_freqs=config.n_fft // 2 + 1,
-            f_min=config.f_min,
-            f_max=config.effective_f_max,
-            n_mels=config.n_mels,
-            sample_rate=config.sample_rate,
-            norm=config.norm,
-            mel_scale=config.mel_scale,
-        )                                                        # [F, n_mels]
 
     def power_spectrogram(self, wav: jnp.ndarray) -> jnp.ndarray:
         """[B, T] -> power spec [B, n_frames, n_freqs] (float32).
