@@ -86,12 +86,19 @@ def evaluate_captions(key2pred: Dict[str, List[str]],
         except Exception as e:
             skipped.append(f"meteor/spice/spider ({type(e).__name__})")
     else:
-        # No JVM: report the pure-Python exact+stem METEOR approximation
-        # under its own key so it can never be mistaken for jar METEOR.
+        # No JVM: report the pure-Python approximations under their own
+        # keys so they can never be mistaken for the jar scorers —
+        # meteor_py (exact+stem Banerjee-Lavie alignment), spice_py
+        # (lexicon-based proposition F1) and spider_py
+        # = (CIDEr-D + spice_py)/2.
         from audiocaption_tpu.metrics.meteor import meteor_py
+        from audiocaption_tpu.metrics.spice import spice_py
         result["meteor_py"], meteor_per_key = meteor_py(key2pred, key2refs)
+        result["spice_py"], spice_per_key = spice_py(key2pred, key2refs)
+        result["spider_py"] = (result["cider"] + result["spice_py"]) / 2
         skipped.append("meteor/spice/spider (no java/pycocoevalcap; "
-                       "meteor_py is the exact+stem approximation)")
+                       "meteor_py/spice_py/spider_py are pure-Python "
+                       "approximations)")
 
     try:
         from fense.evaluator import Evaluator
@@ -124,4 +131,5 @@ def evaluate_captions(key2pred: Dict[str, List[str]],
         if "meteor_py" in result:
             for k in result["per_audio"]:
                 result["per_audio"][k]["meteor_py"] = meteor_per_key[k]
+                result["per_audio"][k]["spice_py"] = spice_per_key[k]
     return result
