@@ -83,6 +83,15 @@ SMOKE_NODEIDS = {
     # serving + CLI entry points
     "test_serving.py::test_results_match_direct_decode",
     "test_cli.py::test_debug_step",
+    # round-5 subsystems: offline scorer approximations, HF-zoo
+    # checkpoint interop, production wiring + orphan guard, the
+    # vs_baseline artifact, corpus v2
+    "test_spice_py.py::test_all_four_phrasings_agree",
+    "test_extra_metrics.py::test_eval_tools_specificity_cli",
+    "test_wiring.py::test_build_loss_multiple_loss_sum",
+    "test_no_orphan_modules.py::test_no_orphan_package_modules",
+    "test_reference_floor.py::test_reference_floor_artifact_contract",
+    "test_corpus_v2.py::test_references_split_synonyms",
 }
 
 

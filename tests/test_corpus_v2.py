@@ -11,7 +11,6 @@ import pytest
 from audiocaption_tpu.cli.synthetic_corpus import (
     EVENTS_V2, captions_for_v2, generate_v2, sample_events_v2)
 
-pytestmark = pytest.mark.smokeless
 
 
 def test_sampler_arities_and_distinctness():

@@ -11,7 +11,6 @@ from audiocaption_tpu.metrics.extra import (
     build_word_specificity, clap_text_similarity, load_word_specificity,
     specificity_score)
 
-pytestmark = pytest.mark.smokeless  # plain-python, no jax
 
 
 def test_specificity_score_sum_then_mean():

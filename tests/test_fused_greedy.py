@@ -146,6 +146,28 @@ def test_fused_kernel_chunked_parity(interp):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_fused_greedy_bf16_cache_token_parity(interp):
+    """bf16 mem-K/V + decode-cache storage (the serving configuration:
+    halves the dominant VMEM terms, doubles the kernel chunk to 256,
+    halves the per-step cross-attention read bytes) with f32
+    accumulate: token-identical to the engine on a well-separated
+    model."""
+    from audiocaption_tpu.models.captioner import generate
+    model, variables = _small_model()
+    wav = jnp.asarray(np.random.RandomState(3).randn(3, 16000),
+                      jnp.float32)
+    lens = jnp.asarray([16000, 9000, 12000])
+    ref = np.asarray(generate(model, variables, wav, lens,
+                              sample_method="greedy", max_length=8)["seq"])
+    fd = interp.FusedGreedyDecoder(model, variables, max_length=8,
+                                   cache_bf16=True)
+    assert fd.max_kernel_batch == 256
+    np.testing.assert_array_equal(np.asarray(fd(wav, lens)), ref)
+    # f32 model default stays f32 caches / chunk 128
+    fd32 = interp.FusedGreedyDecoder(model, variables, max_length=8)
+    assert not fd32.cache_bf16 and fd32.max_kernel_batch == 128
+
+
 def test_bake_params_modes_token_identical(interp):
     """bake_params=True (params closed over / constant-folded) and
     bake_params=False (params as traced jit args, the >BAKE_LIMIT_BYTES

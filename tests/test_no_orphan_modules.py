@@ -11,7 +11,6 @@ from pathlib import Path
 
 import pytest
 
-pytestmark = pytest.mark.smokeless
 
 REPO = Path(__file__).resolve().parent.parent
 PKG = REPO / "audiocaption_tpu"

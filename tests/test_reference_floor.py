@@ -8,7 +8,6 @@ from pathlib import Path
 
 import pytest
 
-pytestmark = pytest.mark.smokeless
 
 REPO = Path(__file__).resolve().parent.parent
 ARTIFACT = REPO / "results" / "reference_floor.json"

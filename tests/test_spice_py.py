@@ -8,7 +8,6 @@ import pytest
 from audiocaption_tpu.metrics.spice import (propositions, spice_pair_f1,
                                             spice_py)
 
-pytestmark = pytest.mark.smokeless
 
 
 def P(s):
