@@ -34,6 +34,20 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
+# Persistent XLA compilation cache: without it every CLI run pays the
+# full remote-compile cost (~16 min for a cold training step on the
+# axon tunnel; measured round-5: a cached second seed starts epochs in
+# ~2 min).  The env-var alone is not bound to the config on this jax
+# version (round-4 finding for the test suite — same fix as
+# tests/conftest.py / bench.py).
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path(__file__).resolve().parents[2] / ".cache" / "jax"))
+jax.config.update("jax_compilation_cache_dir",
+                  _os.environ["JAX_COMPILATION_CACHE_DIR"])
+
 from audiocaption_tpu.data import (
     CaptionDataset, DictTokenizer, HuggingfaceTokenizer, InferenceDataset,
     TextCollate, VarLenPadCollate, load_caption_json)
