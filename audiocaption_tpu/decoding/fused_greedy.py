@@ -184,7 +184,8 @@ def _ln(x, ln):
 def _mha_lanes(q, kcache, vcache, valid, nhead):
     """Per-head lane-block attention.
 
-    q: [B, H*HPAD]; kcache/vcache: [T, B, H*HPAD]; valid: [T, B] bool.
+    q: [B, H*HPAD]; kcache/vcache: [T, B, H*HPAD] (possibly stored
+    bf16 — cast per head block, accumulate f32); valid: [T, B] bool.
     -> ctx [B, H*HPAD].  Slice-then-expand only: mixing None with a
     slice in one indexing expression sends jnp down the gather path,
     which Mosaic cannot lower."""
@@ -194,8 +195,8 @@ def _mha_lanes(q, kcache, vcache, valid, nhead):
     for h in range(nhead):
         sl = slice(h * HPAD, (h + 1) * HPAD)
         qh = q[:, sl]                                 # [B, HPAD]
-        kh = kcache[:, :, sl]                         # [T, B, HPAD]
-        vh = vcache[:, :, sl]
+        kh = kcache[:, :, sl].astype(jnp.float32)     # [T, B, HPAD]
+        vh = vcache[:, :, sl].astype(jnp.float32)
         scores = jnp.sum(qh[None] * kh, axis=-1)          # [T, B]
         scores = jnp.where(valid, scores, neg)
         m = jnp.max(scores, axis=0, keepdims=True)
@@ -260,8 +261,10 @@ def _make_kernel(nlayers: int, nhead: int, L: int, eos: int, pad: int,
                             preferred_element_type=jnp.float32) + bk[:]
                 v = jnp.dot(x, wv[:],
                             preferred_element_type=jnp.float32) + bv[:]
-                self_k[i][pl.ds(t, 1), :, :] = k[None]
-                self_v[i][pl.ds(t, 1), :, :] = v[None]
+                self_k[i][pl.ds(t, 1), :, :] = k[None].astype(
+                    self_k[i].dtype)
+                self_v[i][pl.ds(t, 1), :, :] = v[None].astype(
+                    self_v[i].dtype)
                 ctx = _mha_lanes(q, self_k[i][:], self_v[i][:],
                                  self_valid, nhead)
                 sa = jnp.dot(ctx, wo[:],
@@ -307,15 +310,21 @@ def _make_kernel(nlayers: int, nhead: int, L: int, eos: int, pad: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("dec", "max_length"))
+@functools.partial(jax.jit, static_argnames=("dec", "max_length",
+                                             "cache_bf16"))
 def _fused_decode_call(dec: TransformerDecoder, max_length: int,
                        packed: Dict[str, jnp.ndarray],
-                       memk, memv, mem_valid) -> jnp.ndarray:
+                       memk, memv, mem_valid,
+                       cache_bf16: bool = False) -> jnp.ndarray:
     nlayers, nhead = dec.nlayers, dec._nhead
     B = memk[0].shape[1]
     L = max_length
     hp = nhead * HPAD
     special_eos, special_pad = 2, 0
+    # bf16 serving story (mirrors fused_beam): the self-attention K/V
+    # decode caches are *stored* bf16, halving their VMEM; every
+    # attention read casts back to f32 and all accumulation stays f32.
+    cache_dt = jnp.bfloat16 if cache_bf16 else jnp.float32
 
     kernel = _make_kernel(nlayers, nhead, L, special_eos, special_pad,
                           dec.vocab_size, dec.emb_dim)
@@ -342,7 +351,7 @@ def _fused_decode_call(dec: TransformerDecoder, max_length: int,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=(
-            [pltpu.VMEM((L, B, hp), jnp.float32)] * (2 * nlayers)
+            [pltpu.VMEM((L, B, hp), cache_dt)] * (2 * nlayers)
             + [pltpu.VMEM((L, B), jnp.float32)]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -360,7 +369,8 @@ class FusedGreedyDecoder:
 
     def __init__(self, model: Captioner, variables: Dict,
                  max_length: int = 20, bake_params: bool = None,
-                 max_kernel_batch: int = None):
+                 max_kernel_batch: int = None,
+                 cache_bf16: bool = None):
         self.model = model
         self.dec: TransformerDecoder = model.decoder
         # exact type: conditioned subclasses (Event/KeywordProb) inject
@@ -368,6 +378,14 @@ class FusedGreedyDecoder:
         assert type(self.dec) is TransformerDecoder, (
             "fused decode supports the plain TransformerDecoder only; "
             f"got {type(self.dec).__name__}")
+        # bf16 mem-K/V + decode-cache storage (f32 accumulate): halves
+        # the dominant VMEM terms so the kernel chunk doubles to 256,
+        # and halves the per-step cross-attention read bytes.  Defaults
+        # on for bf16-compute models (the serving configuration),
+        # mirroring FusedBeamDecoder.
+        if cache_bf16 is None:
+            cache_bf16 = self.dec.compute_dtype == jnp.bfloat16
+        self.cache_bf16 = bool(cache_bf16)
         self._explicit_kernel_batch = max_kernel_batch
         self.variables = variables
         self.max_length = max_length
@@ -392,6 +410,8 @@ class FusedGreedyDecoder:
             bake_params = _tree_bytes(variables) <= BAKE_LIMIT_BYTES
         self.bake_params = bool(bake_params)
 
+        mem_dt = jnp.bfloat16 if self.cache_bf16 else jnp.float32
+
         def prepare(variables, wav, wav_len):
             dec_vars = {"params": variables["params"]["decoder"]}
             enc = model.apply(variables, wav, wav_len,
@@ -401,8 +421,8 @@ class FusedGreedyDecoder:
                                   method=TransformerDecoder.init_cache)
             memk, memv = [], []
             for i in range(dec.nlayers):
-                mk = static[f"mem_k{i}"].astype(jnp.float32)  # [B, S, E]
-                mv = static[f"mem_v{i}"].astype(jnp.float32)
+                mk = static[f"mem_k{i}"].astype(mem_dt)       # [B, S, E]
+                mv = static[f"mem_v{i}"].astype(mem_dt)
                 # head-pad: [B, S, E] -> [S, B, H*HPAD]
                 def pad_heads(m):
                     m = jnp.transpose(m, (1, 0, 2))           # [S, B, E]
@@ -419,10 +439,13 @@ class FusedGreedyDecoder:
                 ~static["mem_kpm"], (1, 0)).astype(jnp.float32)  # [S, B]
             return tuple(memk), tuple(memv), mem_valid
 
+        cache_bf16_flag = self.cache_bf16
+
         def run(variables, wav, wav_len):
             memk, memv, mem_valid = prepare(variables, wav, wav_len)
             return _fused_decode_call(dec, max_length, packed,
-                                      memk, memv, mem_valid)
+                                      memk, memv, mem_valid,
+                                      cache_bf16=cache_bf16_flag)
 
         if self.bake_params:
             self._prepare = jax.jit(functools.partial(prepare, variables))
@@ -432,14 +455,16 @@ class FusedGreedyDecoder:
             self._prepare = lambda w, l: prepare_v(self.variables, w, l)
             run_v = jax.jit(run)
             self._run = lambda w, l: run_v(self.variables, w, l)
-        # mem K/V live fully in VMEM: cap the kernel batch (B=128 with
-        # S<=32 fits the ~100MB scoped VMEM; B=256 does not).  Long
-        # memories shrink this via the compile-failure fallback in
+        # mem K/V live fully in VMEM: cap the kernel batch (f32 caches:
+        # B=128 with S<=32 fits the ~100MB scoped VMEM, B=256 does not;
+        # bf16 cache storage halves both VMEM terms so B=256 fits).
+        # Long memories shrink this via the compile-failure fallback in
         # __call__ (see _COMPILE_FALLBACK_MARKERS); the shrunken chunk
         # is remembered per padded wav length in _chunk_for_frames, the
         # configured default below is never mutated.
-        self.max_kernel_batch = (128 if max_kernel_batch is None
-                                 else max_kernel_batch)
+        if max_kernel_batch is None:
+            max_kernel_batch = 256 if self.cache_bf16 else 128
+        self.max_kernel_batch = max_kernel_batch
         self._chunked_cache = {}
         self._chunk_for_frames: Dict[int, int] = {}
 
@@ -461,7 +486,8 @@ class FusedGreedyDecoder:
                         jax.lax.slice_in_dim(w, i, end, axis=0),
                         jax.lax.slice_in_dim(wl, i, end, axis=0))
                     outs.append(_fused_decode_call(
-                        dec, max_length, packed, memk, memv, valid))
+                        dec, max_length, packed, memk, memv, valid,
+                        cache_bf16=cache_bf16_flag))
                 return jnp.concatenate(outs, axis=0)
 
             if self.bake_params:
