@@ -48,6 +48,20 @@ _os.environ.setdefault(
 jax.config.update("jax_compilation_cache_dir",
                   _os.environ["JAX_COMPILATION_CACHE_DIR"])
 
+# Hang diagnosability: remote-TPU (tunnel) RPCs can wedge a run
+# mid-epoch with every thread futex-parked and nothing in the log.
+# `kill -USR1 <pid>` dumps all Python stacks to stderr on demand;
+# AUDIOCAPTION_WATCHDOG_SECS=N additionally dumps them every N seconds
+# so an unattended run leaves evidence of where it stalled.
+import faulthandler as _faulthandler
+import signal as _signal
+
+if hasattr(_signal, "SIGUSR1"):       # not on every platform
+    _faulthandler.register(_signal.SIGUSR1)
+if _os.environ.get("AUDIOCAPTION_WATCHDOG_SECS"):
+    _faulthandler.dump_traceback_later(
+        int(_os.environ["AUDIOCAPTION_WATCHDOG_SECS"]), repeat=True)
+
 from audiocaption_tpu.data import (
     CaptionDataset, DictTokenizer, HuggingfaceTokenizer, InferenceDataset,
     TextCollate, VarLenPadCollate, load_caption_json)
