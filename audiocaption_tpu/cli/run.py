@@ -406,9 +406,20 @@ class Runner:
         else:
             _transfer = None           # prefetch default: plain device_put
 
+        # Remote-TPU (tunnel) robustness: an unbounded async dispatch
+        # queue (hundreds of step RPCs in flight, interleaved with
+        # remote compiles) has been observed to wedge the link
+        # permanently — the epoch-end fetch then blocks forever with
+        # every thread futex-parked (see the SIGUSR1 dumps this guards
+        # against).  Synchronizing on the newest loss every K steps
+        # bounds the in-flight queue at K dispatches for one extra
+        # round-trip per K steps (~0.5 s/epoch at K=64).
+        sync_every = int(_os.environ.get("AUDIOCAPTION_SYNC_STEPS", 64))
+
         for epoch in range(start_epoch, epochs + 1):
             t0 = time.time()
             losses = []
+            step_i = 0
             pf_kw = {"transform": _host_prep}
             if _transfer is not None:
                 pf_kw["transfer"] = _transfer
@@ -442,7 +453,14 @@ class Runner:
                 # keep the device scalar: a float() here would block on
                 # the step and stall the dispatch pipeline every step
                 losses.append(metrics["loss"])
-            train_loss = float(np.mean(jax.device_get(losses)))
+                step_i += 1
+                if sync_every and step_i % sync_every == 0:
+                    jax.block_until_ready(metrics["loss"])
+            # ONE device program + ONE fetch for the epoch mean — a
+            # device_get of the per-step list is hundreds of tunnel
+            # round-trips
+            train_loss = (float(jnp.mean(jnp.stack(losses)))
+                          if losses else float("nan"))
             t_steps = time.time() - t0
 
             # validation CIDEr (run.py:150-155), from the device state

@@ -114,4 +114,19 @@ class TextCollate(VarLenPadCollate):
         if not isinstance(texts, list):
             texts = list(texts)
         out.update(self.tokenizer(texts))
+        # The tokenizer pads cap to the BATCH max, so on a corpus with
+        # variable caption lengths every distinct batch-max length is a
+        # separate jitted train-step program (measured: ~3 min remote
+        # compile each on the TPU tunnel).  A configured bucket for the
+        # tokenized key rounds the padded length up (tokenizer pad id;
+        # padded positions are inert under the length-masked loss), so
+        # the whole corpus shares a handful of programs.
+        b = self.buckets.get(self.text_key)
+        cap = out.get(self.text_key)
+        if b and cap is not None and cap.ndim == 2:
+            L = bucket_length(cap.shape[1], b)
+            if L > cap.shape[1]:
+                out[self.text_key] = np.pad(
+                    cap, ((0, 0), (0, L - cap.shape[1])),
+                    constant_values=getattr(self.tokenizer, "pad", 0))
         return out

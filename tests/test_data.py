@@ -122,6 +122,24 @@ def test_text_collate_sorts_and_tokenizes():
     np.testing.assert_array_equal(out["wav_len"], [6, 4])
 
 
+def test_text_collate_cap_bucket_fixes_program_shape():
+    """buckets[cap] rounds the tokenized cap length up so variable-
+    length corpora share one train-step program instead of one per
+    batch-max length (the tokenizer pads to batch max, bypassing
+    pad_sequences buckets)."""
+    tok = DictTokenizer()
+    for w in "a b c".split():
+        tok.add_word(w)
+    c = TextCollate(tok, pad_keys=["wav", "cap"], sort_key="cap",
+                    buckets={"cap": 22})
+    for caps in (["a b", "a b c a"], ["a"], ["a b c a b c a b"]):
+        out = c([{"wav": np.ones(4, np.float32), "cap": t}
+                 for t in caps])
+        assert out["cap"].shape[1] == 22          # one shape for all
+        # padded tail is the tokenizer's pad id; lengths untouched
+        assert (out["cap"][0, out["cap_len"][0]:] == tok.pad).all()
+
+
 @pytest.fixture
 def h5_dataset(tmp_path):
     import h5py
