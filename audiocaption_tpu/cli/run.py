@@ -1343,11 +1343,20 @@ class Runner:
 
     def _load_ensemble(self, eval_cfg: Dict):
         """Load N trained experiments (ensemble.py:290-300); all must
-        share the tokenizer/vocab."""
+        share the tokenizer/vocab.  Members are either plain experiment
+        paths (the global ``resume`` applies) or ``{path, resume}``
+        mappings for mixed ensembles whose members checkpoint under
+        different names (e.g. XE swa.pth + SCST best.pth)."""
+        default_resume = eval_cfg.get("resume", "swa.pth")
         models, variables_list, tokenizer = [], [], None
-        for exp_path in eval_cfg["experiment_path"]:
+        for member in eval_cfg["experiment_path"]:
+            if isinstance(member, dict):
+                exp_path = member["path"]
+                resume = member.get("resume", default_resume)
+            else:
+                exp_path, resume = member, default_resume
             cfg, model, variables, tok = self._load_experiment(
-                exp_path, eval_cfg.get("resume", "swa.pth"))
+                exp_path, resume)
             models.append(model)
             variables_list.append(variables)
             tokenizer = tokenizer or tok

@@ -268,7 +268,12 @@ def test_aug_training(workspace):
 def test_ensemble_predict_evaluate_dcase(workspace, base_exp):
     root, base_cfg = workspace
     eval_cfg = {
-        "experiment_path": [str(base_exp), str(base_exp)],
+        # one plain path + one {path, resume} mapping: the dict form
+        # sets a per-member checkpoint for mixed ensembles (XE swa.pth
+        # + SCST best.pth); the plain form takes the global resume
+        "experiment_path": [str(base_exp),
+                            {"path": str(base_exp),
+                             "resume": "last.pth"}],
         "resume": "best.pth",
         "data": {"test": dict(base_cfg["data"]["val"])},
         "inference_args": {"sample_method": "beam", "beam_size": 2,
