@@ -212,7 +212,12 @@ def main():
               file=sys.stderr)
         fd = None
     if fd is not None:
-        for B in ((256, 512, 1024) if small else (128, 256, 512)):
+        # flagship sweep extends to 2048: the per-batch fixed dispatch
+        # overhead (~2.4 ms measured) amortizes with B at a constant
+        # 105.2 us/clip marginal chunk cost, crossing 9,400 clips/s at
+        # B=2048 (capture: results/bench/bench_batch_scaling_2026-08-21)
+        for B in ((256, 512, 1024) if small
+                  else (128, 256, 512, 1024, 2048)):
             try:
                 record(f"fused_greedy_b{B}", B, lambda w, l: fd(w, l),
                        make_batch(B))
